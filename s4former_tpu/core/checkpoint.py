@@ -1,0 +1,315 @@
+"""Checkpointing: orbax for native state, torch .pth ingestion for
+OpenMMLab/DeiT weights (checkpoint compatibility is a BASELINE.json north
+star).
+
+Reference ingredients being rebuilt:
+- OpenMMLab DeiT checkpoint loading with qkv->in_proj remap recipe
+  (reference: README.md:42-76) and bicubic pos-embed resize on load
+  (mmseg/models/backbones/vit.py:369-414);
+- mmcv CheckpointHook periodic save + find_latest_checkpoint auto-resume
+  (reference: mmseg/utils/misc.py:7-41, apis/train.py:122-125).
+
+torch (CPU build) is used ONLY host-side to unpickle .pth files and do the
+one-time bicubic resize; nothing torch touches the compute path.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pytree = Any
+
+
+# --------------------------------------------------------------- orbax side
+def save_checkpoint(work_dir: str, step: int, state: Pytree,
+                    keep: int = 3, meta: Optional[Dict] = None) -> str:
+    """Save a TrainState under work_dir/iter_{step} (orbax)."""
+    import orbax.checkpoint as ocp
+    path = osp.abspath(osp.join(work_dir, f'iter_{step}'))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+    if meta:
+        import json
+        with open(osp.join(path, 's4former_meta.json'), 'w') as f:
+            json.dump(meta, f)
+    _prune_old_checkpoints(work_dir, keep)
+    return path
+
+
+def _prune_old_checkpoints(work_dir: str, keep: int):
+    ckpts = find_all_checkpoints(work_dir)
+    for path, _ in ckpts[:-keep] if keep > 0 else []:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def find_all_checkpoints(work_dir: str):
+    out = []
+    if not osp.isdir(work_dir):
+        return out
+    for name in os.listdir(work_dir):
+        m = re.fullmatch(r'iter_(\d+)', name)
+        if m:
+            out.append((osp.join(work_dir, name), int(m.group(1))))
+    return sorted(out, key=lambda x: x[1])
+
+
+def find_latest_checkpoint(work_dir: str) -> Optional[str]:
+    """Auto-resume discovery (reference utils/misc.py:7-41)."""
+    ckpts = find_all_checkpoints(work_dir)
+    return ckpts[-1][0] if ckpts else None
+
+
+def load_checkpoint(path: str, target_state: Pytree) -> Pytree:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(osp.abspath(path), target=target_state)
+
+
+# ------------------------------------------------------------- torch -> jax
+def _to_np(t) -> np.ndarray:
+    return t.detach().cpu().numpy() if hasattr(t, 'detach') else np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(obj, dict):
+        for key in ('state_dict', 'model'):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: _to_np(v) for k, v in obj.items()
+            if hasattr(v, 'detach') or isinstance(v, np.ndarray)}
+
+
+def _resize_pos_embed_np(pos: np.ndarray, dst_grid: Tuple[int, int],
+                         with_cls: bool = True) -> np.ndarray:
+    """Bicubic pos-embed grid resize on load (vit.py:381-395)."""
+    import torch
+    import torch.nn.functional as F
+    grid = pos[:, 1:] if with_cls else pos
+    src = int(round(grid.shape[1] ** 0.5))
+    if (src, src) == tuple(dst_grid):
+        return pos
+    t = torch.from_numpy(grid.reshape(1, src, src, -1)).permute(0, 3, 1, 2)
+    t = F.interpolate(t.float(), size=dst_grid, mode='bicubic',
+                      align_corners=False)
+    out = t.permute(0, 2, 3, 1).reshape(1, dst_grid[0] * dst_grid[1],
+                                        -1).numpy()
+    if with_cls:
+        out = np.concatenate([pos[:, :1], out], axis=1)
+    return out.astype(pos.dtype)
+
+
+def _normalize_backbone_keys(sd: Dict[str, np.ndarray]
+                             ) -> Dict[str, np.ndarray]:
+    """Accept raw DeiT (timm: blocks.i.attn.qkv...) and OpenMMLab-converted
+    (backbone.layers.i.attn.attn.in_proj_*) layouts; emit the OpenMMLab one
+    (the README.md:42-76 recipe, applied here instead of a manual script)."""
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        if nk.startswith('module.'):
+            nk = nk[len('module.'):]
+        # timm -> mmseg renames
+        nk = nk.replace('blocks.', 'layers.') if nk.startswith('blocks.') \
+            else nk
+        m = re.match(r'layers\.(\d+)\.(.*)', nk)
+        if m and not nk.startswith('backbone.'):
+            i, rest = m.group(1), m.group(2)
+            rest = (rest
+                    .replace('norm1.', 'ln1.')
+                    .replace('norm2.', 'ln2.')
+                    .replace('attn.qkv.weight', 'attn.attn.in_proj_weight')
+                    .replace('attn.qkv.bias', 'attn.attn.in_proj_bias')
+                    .replace('attn.proj.', 'attn.attn.out_proj.')
+                    .replace('mlp.fc1.', 'ffn.layers.0.0.')
+                    .replace('mlp.fc2.', 'ffn.layers.1.'))
+            nk = f'layers.{i}.{rest}'
+        if nk == 'patch_embed.proj.weight':
+            nk = 'patch_embed.projection.weight'
+        if nk == 'patch_embed.proj.bias':
+            nk = 'patch_embed.projection.bias'
+        if nk == 'norm.weight':
+            nk = 'ln1.weight'  # final norm (unused when final_norm=False)
+        if nk == 'norm.bias':
+            nk = 'ln1.bias'
+        out[nk] = v
+    return out
+
+
+def convert_vit_backbone(sd: Dict[str, np.ndarray],
+                         num_layers: int,
+                         dst_grid: Optional[Tuple[int, int]] = None
+                         ) -> Tuple[Dict, Dict]:
+    """OpenMMLab-layout ViT state_dict (keys WITHOUT the 'backbone.'
+    prefix) -> (flax params subtree, batch_stats subtree) for our
+    VisionTransformer."""
+    sd = _normalize_backbone_keys(sd)
+    p: Dict[str, Any] = {}
+    if 'cls_token' in sd:
+        p['cls_token'] = sd['cls_token']
+    if 'pos_embed' in sd:
+        pos = sd['pos_embed']
+        if dst_grid is not None:
+            pos = _resize_pos_embed_np(pos, dst_grid)
+        p['pos_embed'] = pos
+    if 'patch_embed.projection.weight' in sd:
+        w = sd['patch_embed.projection.weight']  # [C,3,kh,kw]
+        p['patch_embed'] = {
+            'kernel': np.transpose(w, (2, 3, 1, 0)),
+            'bias': sd['patch_embed.projection.bias'],
+        }
+    for i in range(num_layers):
+        pre = f'layers.{i}.'
+        if pre + 'ln1.weight' not in sd:
+            continue
+        p[f'layers_{i}'] = {
+            'ln1': {'scale': sd[pre + 'ln1.weight'],
+                    'bias': sd[pre + 'ln1.bias']},
+            'ln2': {'scale': sd[pre + 'ln2.weight'],
+                    'bias': sd[pre + 'ln2.bias']},
+            'attn': {
+                'qkv': {'kernel': sd[pre + 'attn.attn.in_proj_weight'].T,
+                        'bias': sd[pre + 'attn.attn.in_proj_bias']},
+                'proj': {'kernel': sd[pre + 'attn.attn.out_proj.weight'].T,
+                         'bias': sd[pre + 'attn.attn.out_proj.bias']},
+            },
+            'ffn': {
+                'fc1': {'kernel': sd[pre + 'ffn.layers.0.0.weight'].T,
+                        'bias': sd[pre + 'ffn.layers.0.0.bias']},
+                'fc2': {'kernel': sd[pre + 'ffn.layers.1.weight'].T,
+                        'bias': sd[pre + 'ffn.layers.1.bias']},
+            },
+        }
+    return p, {}
+
+
+def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                         ) -> Tuple[Dict, Dict]:
+    """mmseg SETRUPHead state_dict -> (params, batch_stats) subtrees."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    if prefix + 'norm.weight' in sd:
+        p['norm'] = {'scale': g('norm.weight'), 'bias': g('norm.bias')}
+    i = 0
+    while prefix + f'up_convs.{i}.0.conv.weight' in sd:
+        w = g(f'up_convs.{i}.0.conv.weight')  # [Cout,Cin,k,k]
+        p[f'up_convs_{i}'] = {
+            'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+            'bn': {'scale': g(f'up_convs.{i}.0.bn.weight'),
+                   'bias': g(f'up_convs.{i}.0.bn.bias')},
+        }
+        bs[f'up_convs_{i}'] = {
+            'bn': {'mean': g(f'up_convs.{i}.0.bn.running_mean'),
+                   'var': g(f'up_convs.{i}.0.bn.running_var')},
+        }
+        i += 1
+    if prefix + 'conv_seg.weight' in sd:
+        w = g('conv_seg.weight')
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': g('conv_seg.bias')}
+    return p, bs
+
+
+def convert_mmseg_checkpoint(path_or_sd,
+                             num_layers: int = 12,
+                             dst_grid: Optional[Tuple[int, int]] = None,
+                             num_aux: int = 4) -> Dict[str, Dict]:
+    """Full S4Former/mmseg checkpoint -> our variables dict.
+
+    Handles: backbone-only DeiT files, full EncoderDecoder state_dicts
+    (backbone./decode_head./auxiliary_head.N.), and EMA twins
+    (backbone_ema./decode_head_ema. -> ema_params)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else \
+        load_torch_state_dict(path_or_sd)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    ema_params: Dict[str, Any] = {}
+    ema_bs: Dict[str, Any] = {}
+
+    bb = sub('backbone.')
+    if not bb and 'patch_embed.proj.weight' in _normalize_backbone_keys(sd):
+        bb = sd  # backbone-only checkpoint with bare keys
+    if not bb and any(k.startswith('layers.') or k.startswith('blocks.')
+                      or k == 'cls_token' for k in sd):
+        bb = sd
+    if bb:
+        p, _ = convert_vit_backbone(bb, num_layers, dst_grid)
+        if p:
+            params['backbone_m'] = p
+
+    dh = sub('decode_head.')
+    if dh:
+        p, b = convert_setr_up_head(dh)
+        params['decode_head_m'] = p
+        batch_stats['decode_head_m'] = b
+    for i in range(num_aux):
+        ah = sub(f'auxiliary_head.{i}.')
+        if ah:
+            p, b = convert_setr_up_head(ah)
+            params[f'aux_heads_{i}'] = p
+            batch_stats[f'aux_heads_{i}'] = b
+
+    bbe = sub('backbone_ema.')
+    if bbe:
+        p, _ = convert_vit_backbone(bbe, num_layers, dst_grid)
+        ema_params['backbone_m'] = p
+    dhe = sub('decode_head_ema.')
+    if dhe:
+        p, b = convert_setr_up_head(dhe)
+        ema_params['decode_head_m'] = p
+        ema_bs['decode_head_m'] = b
+
+    out = {'params': params, 'batch_stats': batch_stats}
+    if ema_params:
+        out['ema_params'] = ema_params
+        out['ema_batch_stats'] = ema_bs
+    return out
+
+
+def merge_pretrained(variables: Dict, pretrained: Dict,
+                     strict: bool = False) -> Dict:
+    """Overlay converted weights onto freshly-initialized variables,
+    keeping init values for anything missing (e.g. heads when loading a
+    backbone-only DeiT file). Shape mismatches raise."""
+    import copy
+    out = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables))
+
+    def overlay(dst, src, path=''):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k not in dst:
+                    if strict:
+                        raise KeyError(f'unexpected subtree {path}/{k}')
+                    continue
+                overlay(dst[k], v, f'{path}/{k}')
+            else:
+                if k not in dst:
+                    if strict:
+                        raise KeyError(f'unexpected leaf {path}/{k}')
+                    continue
+                if tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f'shape mismatch at {path}/{k}: '
+                        f'{np.shape(dst[k])} vs {np.shape(v)}')
+                dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+
+    for col in pretrained:
+        if col in out:
+            overlay(out[col], pretrained[col], col)
+    return jax.tree_util.tree_map(jnp.asarray, out)

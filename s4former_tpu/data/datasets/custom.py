@@ -1,0 +1,254 @@
+"""Dataset layer: split-file-driven segmentation datasets.
+
+Rebuild of ``CustomDataset`` and friends
+(reference: mmseg/datasets/custom.py:32-512, voc.py:9, cityscapes.py:14,
+dataset_wrappers.py:279-330). Items are numpy dicts produced by the
+pipeline (s4former_tpu.data.pipelines.transforms); batching happens in the
+loader.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from s4former_tpu.core.metrics import (eval_metrics, intersect_and_union,
+                                       pre_eval_to_metrics)
+from s4former_tpu.data.pipelines.transforms import Compose
+from s4former_tpu.registry import DATASETS
+
+
+@DATASETS.register_module()
+class CustomDataset:
+    """(custom.py:32). img_dir + ann_dir (+ optional split file listing
+    stems). ``__getitem__`` runs the pipeline; ``pre_eval`` computes
+    per-image confusion histograms (custom.py:302)."""
+
+    CLASSES: Optional[Sequence[str]] = None
+    PALETTE = None
+
+    def __init__(self,
+                 pipeline,
+                 img_dir: str,
+                 img_suffix: str = '.jpg',
+                 ann_dir: Optional[str] = None,
+                 seg_map_suffix: str = '.png',
+                 split: Optional[str] = None,
+                 data_root: Optional[str] = None,
+                 test_mode: bool = False,
+                 ignore_index: int = 255,
+                 reduce_zero_label: bool = False,
+                 classes=None,
+                 palette=None,
+                 seed: int = 0,
+                 **kwargs):
+        self.pipeline = Compose(pipeline)
+        self.img_dir = img_dir
+        self.img_suffix = img_suffix
+        self.ann_dir = ann_dir
+        self.seg_map_suffix = seg_map_suffix
+        self.split = split
+        self.data_root = data_root
+        self.test_mode = test_mode
+        self.ignore_index = ignore_index
+        self.reduce_zero_label = reduce_zero_label
+        self.label_map = None
+        self.base_seed = seed
+        if classes is not None:
+            self.CLASSES = tuple(classes)
+        if palette is not None:
+            self.PALETTE = palette
+
+        if data_root is not None:
+            if not osp.isabs(self.img_dir):
+                self.img_dir = osp.join(data_root, self.img_dir)
+            if self.ann_dir is not None and not osp.isabs(self.ann_dir):
+                self.ann_dir = osp.join(data_root, self.ann_dir)
+            if self.split is not None and not osp.isabs(self.split):
+                self.split = osp.join(data_root, self.split)
+
+        self.img_infos = self.load_annotations()
+
+    def load_annotations(self) -> List[Dict]:
+        """(custom.py:150): split file of stems, or scan img_dir."""
+        infos = []
+        if self.split is not None:
+            with open(self.split) as f:
+                stems = [line.strip() for line in f if line.strip()]
+            for stem in stems:
+                info = dict(
+                    filename=osp.join(self.img_dir, stem + self.img_suffix),
+                    ori_filename=stem + self.img_suffix)
+                if self.ann_dir is not None:
+                    info['seg_map'] = osp.join(
+                        self.ann_dir, stem + self.seg_map_suffix)
+                infos.append(info)
+        else:
+            import glob
+            for path in sorted(glob.glob(
+                    osp.join(self.img_dir, f'*{self.img_suffix}'))):
+                stem = osp.splitext(osp.basename(path))[0]
+                info = dict(filename=path,
+                            ori_filename=osp.basename(path))
+                if self.ann_dir is not None:
+                    info['seg_map'] = osp.join(
+                        self.ann_dir, stem + self.seg_map_suffix)
+                infos.append(info)
+        return infos
+
+    def __len__(self) -> int:
+        return len(self.img_infos)
+
+    def _base_results(self, idx: int) -> Dict:
+        info = self.img_infos[idx]
+        results: Dict = dict(
+            img_info=dict(filename=info['filename'],
+                          ori_filename=info['ori_filename']),
+            seg_fields=[])
+        if 'seg_map' in info:
+            results['ann_info'] = dict(seg_map=info['seg_map'])
+        if self.label_map is not None:
+            results['label_map'] = self.label_map
+        return results
+
+    def __getitem__(self, idx: int):
+        results = self._base_results(idx)
+        # deterministic per-(epoch-less) sample rng; reseeded per access
+        results['rng'] = np.random.default_rng(
+            np.random.SeedSequence([self.base_seed, idx,
+                                    np.random.randint(0, 2 ** 31)]))
+        return self.pipeline(results)
+
+    def get_item_deterministic(self, idx: int, seed: int):
+        results = self._base_results(idx)
+        results['rng'] = np.random.default_rng(
+            np.random.SeedSequence([self.base_seed, seed, idx]))
+        return self.pipeline(results)
+
+    def get_gt_seg_map(self, idx: int) -> np.ndarray:
+        from PIL import Image
+        seg = np.asarray(Image.open(self.img_infos[idx]['seg_map']))
+        if seg.ndim == 3:
+            seg = seg[..., 0]
+        seg = seg.astype(np.int32)
+        if self.reduce_zero_label:
+            seg[seg == 0] = 256
+            seg = seg - 1
+            seg[seg == 255] = 255
+        if self.label_map is not None:
+            out = seg.copy()
+            for old_id, new_id in self.label_map.items():
+                out[seg == old_id] = new_id
+            seg = out
+        return seg
+
+    # --------------------------------------------------------- evaluation
+    def pre_eval(self, preds, indices):
+        """(custom.py:302): per-image (intersect, union, areas) tuples."""
+        if not isinstance(indices, (list, tuple)):
+            indices = [indices]
+        if not isinstance(preds, (list, tuple)):
+            preds = [preds]
+        out = []
+        for pred, idx in zip(preds, indices):
+            gt = self.get_gt_seg_map(idx)
+            out.append(tuple(np.asarray(x) for x in intersect_and_union(
+                np.asarray(pred), gt, len(self.CLASSES),
+                self.ignore_index)))
+        return out
+
+    def evaluate(self, results, metric='mIoU', **kwargs):
+        """(custom.py:413): accepts pre_eval tuples or full seg maps."""
+        metrics = [metric] if isinstance(metric, str) else list(metric)
+        if len(results) and isinstance(results[0], tuple):
+            tables = pre_eval_to_metrics(results, metrics)
+        else:
+            gts = [self.get_gt_seg_map(i) for i in range(len(self))]
+            tables = eval_metrics(results, gts, len(self.CLASSES),
+                                  self.ignore_index, metrics)
+        out = {'aAcc': float(tables['aAcc'])}
+        for key, vals in tables.items():
+            if key == 'aAcc':
+                continue
+            out[f'm{key}'] = float(np.nanmean(vals))
+            for name, v in zip(self.CLASSES or [], np.asarray(vals)):
+                out[f'{key}.{name}'] = float(v)
+        return out
+
+
+@DATASETS.register_module()
+class PascalVOCDataset(CustomDataset):
+    """(voc.py:9): 21 classes, palette, split required upstream."""
+
+    CLASSES = ('background', 'aeroplane', 'bicycle', 'bird', 'boat',
+               'bottle', 'bus', 'car', 'cat', 'chair', 'cow', 'diningtable',
+               'dog', 'horse', 'motorbike', 'person', 'pottedplant', 'sheep',
+               'sofa', 'train', 'tvmonitor')
+    PALETTE = [[0, 0, 0], [128, 0, 0], [0, 128, 0], [128, 128, 0],
+               [0, 0, 128], [128, 0, 128], [0, 128, 128], [128, 128, 128],
+               [64, 0, 0], [192, 0, 0], [64, 128, 0], [192, 128, 0],
+               [64, 0, 128], [192, 0, 128], [64, 128, 128], [192, 128, 128],
+               [0, 64, 0], [128, 64, 0], [0, 192, 0], [128, 192, 0],
+               [0, 64, 128]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class CityscapesDataset(CustomDataset):
+    """(cityscapes.py:14): trainId label maps (*_gtFine_labelTrainIds)."""
+
+    CLASSES = ('road', 'sidewalk', 'building', 'wall', 'fence', 'pole',
+               'traffic light', 'traffic sign', 'vegetation', 'terrain',
+               'sky', 'person', 'rider', 'car', 'truck', 'bus', 'train',
+               'motorcycle', 'bicycle')
+    PALETTE = [[128, 64, 128], [244, 35, 232], [70, 70, 70], [102, 102, 156],
+               [190, 153, 153], [153, 153, 153], [250, 170, 30],
+               [220, 220, 0], [107, 142, 35], [152, 251, 152],
+               [70, 130, 180], [220, 20, 60], [255, 0, 0], [0, 0, 142],
+               [0, 0, 70], [0, 60, 100], [0, 80, 100], [0, 0, 230],
+               [119, 11, 32]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '_leftImg8bit.png')
+        kwargs.setdefault('seg_map_suffix', '_gtFine_labelTrainIds.png')
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class ADE20KDataset(CustomDataset):
+    """(ade.py): 150 classes, reduce_zero_label."""
+
+    CLASSES = tuple(f'class_{i}' for i in range(150))  # names trimmed
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class SemiDataset:
+    """(dataset_wrappers.py:279-305): a (sup, unsup) dataset pair. Unlike
+    the reference's flat ConcatDataset + flattening collate, we keep the
+    two sources explicit — the sampler draws fixed ratios from each."""
+
+    def __init__(self, sup: dict, unsup: dict, **kwargs):
+        self.sup = DATASETS.build(dict(sup)) if isinstance(sup, dict) \
+            else sup
+        self.unsup = DATASETS.build(dict(unsup)) if isinstance(unsup, dict) \
+            else unsup
+        self.CLASSES = self.sup.CLASSES
+        self.PALETTE = self.sup.PALETTE
+
+    def __len__(self):
+        return len(self.sup) + len(self.unsup)
+
+
+def build_dataset(cfg: dict):
+    return DATASETS.build(dict(cfg))

@@ -1,0 +1,1 @@
+from s4former_tpu.data.pipelines.transforms import *  # noqa: F401,F403

@@ -1,0 +1,1 @@
+from s4former_tpu.models.decode_heads.setr_up import SETRUPHead  # noqa: F401

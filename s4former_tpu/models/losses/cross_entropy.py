@@ -1,0 +1,135 @@
+"""Segmentation losses as pure jnp functions + registry wrappers.
+
+Parity notes (reference: mmseg/models/losses/cross_entropy_loss.py):
+- ``avg_non_ignore=False`` by default: the mean is taken over ALL pixels;
+  ignored pixels contribute 0 to the numerator but count in the denominator
+  (cross_entropy_loss.py:44-61, weight_reduce_loss with avg_factor=None).
+- ignore_index defaults to 255 at the head level (decode_head.py:318-355).
+- Everything is fixed-shape masked math (no boolean indexing) so it fuses
+  under jit on TPU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.registry import LOSSES
+
+Array = jax.Array
+
+
+def softmax_cross_entropy_with_ignore(
+        logits: Array,
+        label: Array,
+        ignore_index: int = 255,
+        class_weight: Optional[Array] = None,
+) -> tuple[Array, Array]:
+    """Per-pixel CE. logits [..., C] f32, label [...] int.
+
+    Returns (per-pixel loss with ignored pixels zeroed, valid mask f32).
+    """
+    num_classes = logits.shape[-1]
+    valid = (label != ignore_index)
+    safe_label = jnp.where(valid, label, 0).astype(jnp.int32)
+    logits = logits.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, safe_label[..., None],
+                               axis=-1)[..., 0]
+    if class_weight is not None:
+        cw = jnp.asarray(class_weight, jnp.float32)
+        nll = nll * cw[safe_label]
+    validf = valid.astype(jnp.float32)
+    return nll * validf, validf
+
+
+def cross_entropy_loss(logits: Array,
+                       label: Array,
+                       ignore_index: int = 255,
+                       class_weight: Optional[Sequence[float]] = None,
+                       avg_non_ignore: bool = False,
+                       loss_weight: float = 1.0,
+                       pixel_weight: Optional[Array] = None) -> Array:
+    """Mean CE with reference reduction semantics."""
+    nll, valid = softmax_cross_entropy_with_ignore(
+        logits, label, ignore_index,
+        None if class_weight is None else jnp.asarray(class_weight))
+    if pixel_weight is not None:
+        nll = nll * pixel_weight.astype(jnp.float32)
+    if avg_non_ignore:
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    else:
+        denom = jnp.asarray(nll.size, jnp.float32)
+    return loss_weight * jnp.sum(nll) / denom
+
+
+def binary_cross_entropy_loss(logits: Array,
+                              label: Array,
+                              ignore_index: int = 255,
+                              loss_weight: float = 1.0,
+                              avg_non_ignore: bool = False) -> Array:
+    """Sigmoid BCE for use_sigmoid=True heads (cross_entropy_loss.py:92-152).
+
+    logits [..., C]; label either class indices (one-hot encoded here) or
+    already the same shape as logits.
+    """
+    if label.shape == logits.shape:
+        target = label.astype(jnp.float32)
+        valid = jnp.ones(label.shape[:-1], jnp.float32)
+    else:
+        valid = (label != ignore_index)
+        safe = jnp.where(valid, label, 0).astype(jnp.int32)
+        target = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+        valid = valid.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    per = jnp.maximum(logits, 0) - logits * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    per = jnp.sum(per, axis=-1) * valid
+    if avg_non_ignore:
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    else:
+        denom = jnp.asarray(per.size, jnp.float32)
+    return loss_weight * jnp.sum(per) / denom
+
+
+def accuracy(logits: Array, label: Array, ignore_index: int = 255) -> Array:
+    """Top-1 pixel accuracy over non-ignored pixels (losses/accuracy.py)."""
+    pred = jnp.argmax(logits, axis=-1)
+    valid = (label != ignore_index)
+    correct = jnp.logical_and(pred == label, valid)
+    return 100.0 * jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Config-driven CE loss (reference CrossEntropyLoss).
+
+    Call signature: loss(seg_logits_nhwc, label_nhw) -> scalar.
+    """
+
+    def __init__(self, use_sigmoid: bool = False, use_mask: bool = False,
+                 loss_weight: float = 1.0,
+                 class_weight: Optional[Sequence[float]] = None,
+                 avg_non_ignore: bool = False,
+                 reduction: str = 'mean',
+                 loss_name: str = 'loss_ce'):
+        if use_mask:
+            raise NotImplementedError('mask CE is detection-only upstream')
+        self.use_sigmoid = use_sigmoid
+        self.loss_weight = loss_weight
+        self.class_weight = class_weight
+        self.avg_non_ignore = avg_non_ignore
+        self.reduction = reduction
+        self.loss_name = loss_name
+
+    def __call__(self, logits: Array, label: Array,
+                 ignore_index: int = 255,
+                 pixel_weight: Optional[Array] = None) -> Array:
+        if self.use_sigmoid:
+            return binary_cross_entropy_loss(
+                logits, label, ignore_index, self.loss_weight,
+                self.avg_non_ignore)
+        return cross_entropy_loss(
+            logits, label, ignore_index, self.class_weight,
+            self.avg_non_ignore, self.loss_weight, pixel_weight)

@@ -1,0 +1,2 @@
+from s4former_tpu.models.segmentors.encoder_decoder import (  # noqa: F401
+    EncoderDecoder, build_segmentor)

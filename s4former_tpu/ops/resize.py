@@ -1,0 +1,155 @@
+"""Image resize ops with exact torch ``F.interpolate`` semantics, in NHWC.
+
+The reference wraps ``F.interpolate`` as ``mmseg.ops.resize``
+(reference: mmseg/ops/wrappers.py:8-52) and leans on it for decode-head
+upsampling, logit-to-label resizing and pseudo-label nearest resizing. mIoU
+parity demands exact coordinate semantics:
+
+- bilinear, align_corners=False: half-pixel centers, clamped — identical to
+  ``jax.image.resize(method='linear')``, but we implement it directly via
+  gathers so align_corners=True shares the same code path and the whole thing
+  stays fusable/differentiable under XLA.
+- bilinear, align_corners=True: src = dst * (in-1)/(out-1).
+- nearest: torch's legacy ``floor(dst * in/out)`` rule (NOT half-pixel
+  rounding, which is what ``jax.image.resize('nearest')`` does).
+
+All functions are pure jnp and differentiable (nearest: zero-gradient gather).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def _output_size(in_hw: Tuple[int, int],
+                 size: Optional[Sequence[int]],
+                 scale_factor: Optional[Union[float, Sequence[float]]]
+                 ) -> Tuple[int, int]:
+    if size is not None:
+        return int(size[0]), int(size[1])
+    if scale_factor is None:
+        raise ValueError('either size or scale_factor must be given')
+    if isinstance(scale_factor, (int, float)):
+        scale_factor = (scale_factor, scale_factor)
+    # torch floors the scaled size
+    return (int(in_hw[0] * scale_factor[0]), int(in_hw[1] * scale_factor[1]))
+
+
+def _linear_weights(in_size: int, out_size: int, align_corners: bool,
+                    dtype=jnp.float32):
+    """Return (lo_idx, hi_idx, hi_weight) arrays of length out_size."""
+    if out_size == in_size:
+        idx = jnp.arange(out_size)
+        return idx, idx, jnp.zeros((out_size,), dtype)
+    if align_corners and out_size > 1:
+        src = jnp.arange(out_size, dtype=dtype) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (jnp.arange(out_size, dtype=dtype) + 0.5) * scale - 0.5
+        src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo.astype(dtype)).astype(dtype)
+    return lo, hi, w
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
+                    align_corners: bool = False) -> jax.Array:
+    """Bilinear resize of NHWC (or HWC) array, torch-parity."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x[0] if squeeze else x
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    ylo, yhi, wy = _linear_weights(h, oh, align_corners)
+    xlo, xhi, wx = _linear_weights(w, ow, align_corners)
+    top = jnp.take(xf, ylo, axis=1)
+    bot = jnp.take(xf, yhi, axis=1)
+    rows = top + wy[None, :, None, None] * (bot - top)
+    left = jnp.take(rows, xlo, axis=2)
+    right = jnp.take(rows, xhi, axis=2)
+    out = left + wx[None, None, :, None] * (right - left)
+    out = out.astype(orig_dtype) if jnp.issubdtype(orig_dtype, jnp.floating) \
+        else out
+    return out[0] if squeeze else out
+
+
+def _nearest_indices(in_size: int, out_size: int) -> jax.Array:
+    # torch legacy nearest: src = floor(dst * in/out)
+    idx = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) *
+                    (in_size / out_size)).astype(jnp.int32)
+    return jnp.clip(idx, 0, in_size - 1)
+
+
+def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Nearest resize of NHWC (or HWC / NHW) array, torch-parity.
+
+    Works for any dtype (labels included).
+    """
+    added_channel = x.ndim == 3 and False  # explicit below
+    squeeze_batch = False
+    squeeze_channel = False
+    if x.ndim == 3:
+        # ambiguous NHW vs HWC: treat as NHW (labels) — callers with HWC
+        # should pass 4D. Labels are the common 3D case here.
+        x = x[..., None]
+        squeeze_channel = True
+    elif x.ndim == 2:
+        x = x[None, ..., None]
+        squeeze_batch = True
+        squeeze_channel = True
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) != (h, w):
+        yi = _nearest_indices(h, oh)
+        xi = _nearest_indices(w, ow)
+        x = jnp.take(x, yi, axis=1)
+        x = jnp.take(x, xi, axis=2)
+    if squeeze_channel:
+        x = x[..., 0]
+    if squeeze_batch:
+        x = x[0]
+    del added_channel
+    return x
+
+
+def resize(x: jax.Array,
+           size: Optional[Sequence[int]] = None,
+           scale_factor: Optional[Union[float, Sequence[float]]] = None,
+           mode: str = 'bilinear',
+           align_corners: Optional[bool] = None) -> jax.Array:
+    """Drop-in analogue of the reference ``mmseg.ops.resize`` for NHWC.
+
+    ``x``: [N,H,W,C] float array (bilinear) or [N,H,W]/[N,H,W,C] (nearest).
+    """
+    if x.ndim == 4:
+        in_hw = (x.shape[1], x.shape[2])
+    elif x.ndim == 3:
+        in_hw = (x.shape[1], x.shape[2])
+    else:
+        in_hw = x.shape[-2:]
+    out_hw = _output_size(in_hw, size, scale_factor)
+    if mode == 'bilinear':
+        return resize_bilinear(x, out_hw, bool(align_corners))
+    if mode == 'nearest':
+        return resize_nearest(x, out_hw)
+    raise ValueError(f'unsupported resize mode: {mode}')
+
+
+def resize_pos_embed_grid(pos_grid: jax.Array, out_hw: Tuple[int, int],
+                          mode: str = 'bilinear') -> jax.Array:
+    """Resize a [H,W,C] positional-embedding grid.
+
+    The reference resizes pretrained pos-embeds bicubically on load
+    (vit.py:381-395) and bilinearly at runtime (interpolate_mode='bilinear',
+    vit.py:416-477). Runtime path is bilinear here; the bicubic load-time
+    path lives in core/checkpoint.py where scipy-quality host code is fine.
+    """
+    return resize_bilinear(pos_grid[None], out_hw, align_corners=False)[0]

@@ -1,0 +1,382 @@
+"""The S4Former semi-supervised training step — one jitted program.
+
+Rebuild of the reference hot loop
+(reference: mmseg/models/segmentors/encoder_decoder.py:386-935 plus
+mmcv OptimizerHook/PolyLR): EMA update, supervised branch, teacher
+pseudo-labels, PASA separate-head pass, CutMix + PatchShuffle, final
+student pass, pseudo CE + NCR, SGD step — all inside a single
+``jax.jit``-able function with zero host round-trips.
+
+Data-parallelism is implicit: shard the batch axis of ``batch`` over a
+``jax.sharding.Mesh`` and XLA inserts the gradient all-reduce and the
+cross-replica BatchNorm reductions (the reference needed NCCL DDP +
+SyncBN + an explicit log-var all_reduce for the same effect,
+apis/train.py:129-138, base.py:259-276).
+
+Known reference bugs consciously NOT replicated (SURVEY.md §7):
+- train_step's npy/json debug dump every iteration (base.py:182-196);
+- the dead ``attn_frozen`` string-literal branch (:1055);
+- NCR being computed-and-discarded inside the PASA pass.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.core.optim import (build_lr_mult_tree, clip_grads_by_norm,
+                                     poly_lr, sgd_init, sgd_update)
+from s4former_tpu.models.losses.cross_entropy import accuracy
+from s4former_tpu.ops.resize import resize_bilinear
+from s4former_tpu.registry import LOSSES
+from s4former_tpu.semi import mixes
+from s4former_tpu.semi.config import SemiConfig
+from s4former_tpu.semi.ema import ema_update, ema_update_partitioned
+from s4former_tpu.semi.ncr import ncr_loss
+from s4former_tpu.semi.pasa import pasa_bias_from_conf_mask
+from s4former_tpu.semi.pseudo import (extract_teacher_info, mask_ratio,
+                                      pseudo_ce_loss, soft_pseudo_ce_loss)
+
+Array = jax.Array
+Pytree = Any
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything that evolves across steps, as one pytree."""
+    step: Array
+    params: Pytree
+    batch_stats: Pytree
+    momentum: Pytree                     # SGD buffers
+    ema_params: Optional[Pytree] = None  # mean teacher
+    ema_batch_stats: Optional[Pytree] = None
+
+
+def create_train_state(variables: Dict, ema: bool = False) -> TrainState:
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        momentum=sgd_init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats)
+        if ema else None,
+    )
+
+
+def _head_loss_fns(model) -> Tuple[Callable, list]:
+    """Build loss callables from head configs (loss_decode entries)."""
+    def build(head_cfg):
+        loss_cfg = dict(head_cfg.get('loss_decode',
+                                     {'type': 'CrossEntropyLoss'}))
+        return LOSSES.build(loss_cfg)
+
+    main = build(model.decode_head)
+    aux_cfgs = model.auxiliary_head
+    if aux_cfgs is None:
+        aux_list = []
+    else:
+        if hasattr(aux_cfgs, 'keys'):
+            aux_cfgs = [aux_cfgs]
+        aux_list = [build(a) for a in aux_cfgs]
+    return main, aux_list
+
+
+def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
+    """Supervised branch: all heads vs GT (encoder_decoder.py:426-441).
+    Returns (losses dict, new batch_stats)."""
+    (main, aux), upd = model.apply(
+        variables, mutable=['batch_stats'],
+        method='forward_train_heads_from_img', img=img, train=True,
+        rngs={'dropout': rng})
+    losses = {}
+    gt_hw = gt.shape[1:3]
+
+    def to_gt(logits):
+        if logits.shape[1:3] != gt_hw:
+            return resize_bilinear(logits, gt_hw,
+                                   model.align_corners)
+        return logits
+
+    main = to_gt(main)
+    losses['decode.loss_ce'] = main_loss(main, gt)
+    losses['decode.acc_seg'] = accuracy(main, gt)
+    for i, (a, lfn) in enumerate(zip(aux, aux_losses)):
+        losses[f'aux_{i}.loss_ce'] = lfn(to_gt(a), gt)
+    return losses, upd['batch_stats']
+
+
+def apply_strong_mixes(cfg: SemiConfig, rng: Array,
+                       imgs: Array, labels: Array,
+                       teacher_info, sup_imgs, sup_gts,
+                       num_classes: int):
+    """The strong-augmentation cascade on (student imgs, teacher labels)
+    (encoder_decoder.py:584-648). Returns (imgs, labels, patchmix_perm)."""
+    perm = None
+    k = jax.random.split(rng, 8)
+
+    if cfg.mix_with_labeled:
+        imgs, labels = mixes.mix_with_labeled(
+            imgs, labels, sup_imgs, sup_gts, teacher_info.conf_mask,
+            cfg.patchsize)
+
+    def gated(key, prob, fn, imgs, labels):
+        kg, kf = jax.random.split(key)
+        gate = jax.random.bernoulli(kg, prob)
+        new_imgs, new_labels = fn(kf, imgs, labels)
+        return (jnp.where(gate, new_imgs, imgs),
+                jnp.where(gate, new_labels, labels))
+
+    if cfg.use_CutMix:
+        imgs, labels = gated(
+            k[0], cfg.strong_aug_prob,
+            lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area),
+            imgs, labels)
+    if cfg.use_CutOut:
+        imgs, labels = gated(
+            k[1], 0.5,
+            lambda kk, i, l: mixes.cutout(kk, i, l, cfg.cutout_area),
+            imgs, labels)
+    if cfg.use_ClassMix:
+        imgs, labels = gated(
+            k[2], 0.5,
+            lambda kk, i, l: mixes.classmix(kk, i, l, num_classes),
+            imgs, labels)
+    if cfg.use_cutmix_adaptive:
+        # per-sample confidence = mean((1 - normalized entropy) * maxprob)
+        # (encoder_decoder.py:608-620)
+        probs = jax.nn.softmax(teacher_info.seg_logits, axis=-1)
+        ent = -jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)
+        ent = ent / jnp.log(num_classes)
+        confidence = jnp.mean((1.0 - ent) * teacher_info.max_prob,
+                              axis=(1, 2))
+        imgs, new_labels, new_probs = mixes.cutmix_label_adaptive(
+            k[3], imgs, jnp.where(labels == 255,
+                                  teacher_info.hard_label, labels),
+            teacher_info.max_prob, sup_imgs, sup_gts, confidence)
+        labels = jnp.where(new_probs < cfg.unsup_confidence, 255, new_labels)
+    if cfg.use_PatchShuffle:
+        imgs, perm = mixes.patch_shuffle(
+            k[4], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
+    if cfg.use_PatchShuffle_w_Cutmix:
+        imgs, labels = gated(
+            k[5], cfg.strong_aug_prob,
+            lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area),
+            imgs, labels)
+        imgs, perm = mixes.patch_shuffle(
+            k[6], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
+    if cfg.use_PatchShuffle_w_Classmix:
+        imgs, labels = gated(
+            k[5], 0.5,
+            lambda kk, i, l: mixes.classmix(kk, i, l, num_classes),
+            imgs, labels)
+        imgs, perm = mixes.patch_shuffle(
+            k[6], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
+    return imgs, labels, perm
+
+
+def make_semi_train_step(model,
+                         semi_cfg: SemiConfig,
+                         num_classes: int,
+                         base_lr: float = 0.001,
+                         max_iters: int = 80001,
+                         power: float = 0.9,
+                         min_lr: float = 1e-4,
+                         sgd_momentum: float = 0.9,
+                         weight_decay: float = 0.0,
+                         custom_keys: Optional[Dict[str, float]] = None,
+                         grad_clip_norm: Optional[float] = None,
+                         patch_size: int = 16):
+    """Returns train_step(state, batch, rng) -> (state, logs).
+
+    ``batch``: dict with
+      'sup_img' [B,H,W,3], 'sup_gt' [B,H,W] int32, and (when semi)
+      'unsup_teacher_img' / 'unsup_student_img' [Bu,H,W,3].
+    All float images are normalized NHWC.
+    """
+    cfg = semi_cfg
+    main_loss, aux_losses = _head_loss_fns(model)
+    if custom_keys is None:
+        custom_keys = {'head': 10.0}
+
+    def train_step(state: TrainState, batch: Dict[str, Array],
+                   rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        logs: Dict[str, Array] = {}
+        r_ema, r_sup, r_mix, r_drop, r_fdrop = jax.random.split(rng, 5)
+
+        # ---- 1. EMA update BEFORE forwards (encoder_decoder.py:416-423)
+        ema_params = state.ema_params
+        ema_bs = state.ema_batch_stats
+        if cfg.ema:
+            ema_params = ema_update_partitioned(
+                state.ema_params, state.params,
+                cfg.effective_momentum_backbone,
+                cfg.effective_momentum_head,
+                dropout_head=cfg.momentum_head_dropout,
+                key=r_ema)
+            ema_bs = ema_update(state.ema_batch_stats, state.batch_stats,
+                                cfg.effective_momentum_head)
+
+        has_unsup = 'unsup_teacher_img' in batch and cfg.unsup_weight != 0
+
+        # ---- 2. teacher pseudo-labels (no grad, eval mode; :516-542)
+        teacher = None
+        pasa_bias = None
+        mixed_imgs = mixed_labels = perm = None
+        if has_unsup:
+            t_vars = {'params': ema_params if cfg.ema else state.params,
+                      'batch_stats': ema_bs if cfg.ema else state.batch_stats}
+            t_logits = model.apply(
+                t_vars, method='forward_decode_from_img',
+                img=batch['unsup_teacher_img'], train=False)
+            t_logits = jax.lax.stop_gradient(t_logits)
+            teacher = extract_teacher_info(
+                t_logits, cfg.unsup_confidence, cfg.unsup_temperature,
+                cfg.unsup_soft)
+            logs['mask_ratio'] = mask_ratio(teacher.conf_mask)
+
+            if cfg.attn_mask_seperate_head or cfg.use_attn_mask_inline:
+                # separate-head PASA (":547-567") or inline PASA (":656-675").
+                # The conf mask lives at head-output resolution; pool it to
+                # the backbone token grid (the reference hardcodes 16 for
+                # ViT / 8 for MiT, encoder_decoder.py:548-553 — deriving it
+                # from shapes covers both).
+                grid_h = batch['unsup_teacher_img'].shape[1] // patch_size
+                attn_ps = teacher.conf_mask.shape[1] // grid_h
+                pasa_bias = pasa_bias_from_conf_mask(
+                    teacher.conf_mask, attn_ps,
+                    cfg.attn_mask_weight, cfg.adaptive_attn_mask)
+
+            mixed_imgs, mixed_labels, perm = apply_strong_mixes(
+                cfg, r_mix, batch['unsup_student_img'], teacher.hard_label,
+                teacher, batch['sup_img'][:batch['unsup_student_img'].shape[0]],
+                batch['sup_gt'][:batch['unsup_student_img'].shape[0]],
+                num_classes)
+
+        # ---- 3. differentiable student losses
+        def loss_fn(params):
+            bs = state.batch_stats
+            losses: Dict[str, Array] = {}
+            variables = {'params': params, 'batch_stats': bs}
+
+            sup_img, sup_gt = batch['sup_img'], batch['sup_gt']
+            if cfg.sup_cutmix or cfg.sup_ClassMix:
+                kk = jax.random.split(r_mix, 2)[1]
+                kg, kf = jax.random.split(kk)
+                if cfg.sup_cutmix:
+                    gate = jax.random.bernoulli(kg, cfg.strong_aug_prob)
+                    mi, ml = mixes.sup_cutmix(kf, sup_img, sup_gt)
+                else:
+                    gate = jax.random.bernoulli(kg, 0.5)
+                    mi, ml = mixes.classmix(kf, sup_img, sup_gt, num_classes)
+                sup_img = jnp.where(gate, mi, sup_img)
+                sup_gt = jnp.where(gate, ml, sup_gt)
+
+            sup_losses, bs = _sup_losses(
+                model, main_loss, aux_losses, variables, sup_img, sup_gt,
+                r_drop)
+            losses.update(sup_losses)
+
+            if has_unsup:
+                unsup: Dict[str, Array] = {}
+                variables = {'params': params, 'batch_stats': bs}
+                if cfg.attn_mask_seperate_head:
+                    # PASA separate-head pass on UNMIXED strong images
+                    # (":547-567"), 0.5-weighted
+                    pasa_logits, upd = model.apply(
+                        variables, mutable=['batch_stats'],
+                        method='forward_decode_from_img',
+                        img=batch['unsup_student_img'], train=True,
+                        attn_bias=pasa_bias, pos_mode=cfg.pos_mode,
+                        use_fdrop=cfg.attn_mask_w_fdrop,
+                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                    bs = upd['batch_stats']
+                    unsup['loss_seg_unsup_attn_mask'] = 0.5 * pseudo_ce_loss(
+                        pasa_logits, teacher.hard_label)
+                if cfg.use_fdrop:
+                    fdrop_logits, upd = model.apply(
+                        {'params': params, 'batch_stats': bs},
+                        mutable=['batch_stats'],
+                        method='forward_decode_from_img',
+                        img=batch['unsup_student_img'], train=True,
+                        pos_mode=cfg.pos_mode, use_fdrop=True,
+                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                    bs = upd['batch_stats']
+                    unsup['loss_seg_unsup_fdrop'] = 0.5 * pseudo_ce_loss(
+                        fdrop_logits, teacher.hard_label)
+
+                # final student pass on mixed images; inline-PASA configs
+                # pass the bias here instead (":650-679")
+                inline_bias = pasa_bias if cfg.use_attn_mask_inline else None
+                stu_logits, upd = model.apply(
+                    {'params': params, 'batch_stats': bs},
+                    mutable=['batch_stats'],
+                    method='forward_decode_from_img',
+                    img=mixed_imgs, train=True,
+                    attn_bias=inline_bias, pos_mode=cfg.pos_mode,
+                    patchmix_perm=perm,
+                    patchmix_n=cfg.PatchMix_N if perm is not None else 0,
+                    rngs={'dropout': r_drop})
+                bs = upd['batch_stats']
+
+                if cfg.unsup_soft:
+                    main_pseudo = soft_pseudo_ce_loss(
+                        stu_logits, teacher.soft_label)
+                else:
+                    main_pseudo = pseudo_ce_loss(stu_logits, mixed_labels)
+
+                if cfg.use_fdrop or cfg.attn_mask_seperate_head:
+                    unsup['loss_seg_unsup'] = \
+                        main_pseudo * cfg.fdrop_loss_weight
+                else:
+                    unsup['loss_seg_unsup'] = main_pseudo
+                if cfg.negative_class_ranking and \
+                        cfg.negative_class_ranking_mode != 'sup_only':
+                    ncr = ncr_loss(stu_logits, teacher.seg_logits,
+                                   mixed_labels, num_classes,
+                                   cfg.negative_class_ranking_mode)
+                    scale = 0.5 if (cfg.use_fdrop or
+                                    cfg.attn_mask_seperate_head) else 1.0
+                    unsup['loss_ncr_unsup'] = ncr * scale
+
+                # weighted_loss * unsup_weight, gated by iter_unsup_start
+                # (encoder_decoder.py:488-512)
+                w = jnp.asarray(cfg.unsup_weight, jnp.float32)
+                if cfg.iter_unsup_start != 0:
+                    w = jnp.where(state.step > cfg.iter_unsup_start, w, 0.0)
+                for k, v in unsup.items():
+                    losses[f'unsup.{k}'] = v * w
+
+            total = sum(v for k, v in losses.items() if 'loss' in k)
+            return total, (bs, losses)
+
+        (total, (new_bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if grad_clip_norm is not None:
+            grads = clip_grads_by_norm(grads, grad_clip_norm)
+
+        # ---- 4. SGD + poly LR
+        lr = poly_lr(state.step, base_lr, max_iters, power, min_lr)
+        lr_mults = build_lr_mult_tree(state.params, custom_keys)
+        new_params, new_momentum = sgd_update(
+            state.params, grads, state.momentum, lr, lr_mults,
+            sgd_momentum, weight_decay)
+
+        logs.update(losses)
+        logs['loss'] = total
+        logs['lr'] = lr
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            momentum=new_momentum,
+            ema_params=ema_params,
+            ema_batch_stats=ema_bs,
+        )
+        return new_state, logs
+
+    return train_step
