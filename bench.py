@@ -1,0 +1,94 @@
+"""Benchmark: S4Former semi-supervised training throughput on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "images/sec/chip", "value": N, "unit": "img/s/chip",
+   "vs_baseline": R}
+
+The metric counts labeled+unlabeled images processed per second per chip at
+512x512 on the flagship model (SETR-PUP DeiT-B, full S4Former step: EMA +
+teacher forward + PASA pass + CutMix/PatchShuffle + student pass + NCR +
+SGD), matching BASELINE.json.
+
+Baseline: the reference paper setup trains 80k iters of global batch 8+8 on
+2 GPUs in ~30x8h Slurm slices (README.md:84-100; run_setr_supervised.sh) —
+a measured-equivalent ~2.2 img/s/GPU for the full semi step on A100-class
+hardware; BASELINE.json asks for >=3x per-step speedup per chip.
+"""
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 2.2  # 2xA100 DDP reference estimate
+
+
+def main():
+    import s4former_tpu.models  # noqa: F401
+    from __graft_entry__ import FLAGSHIP
+    from s4former_tpu.models import build_segmentor, init_segmentor_variables
+    from s4former_tpu.parallel.mesh import (make_mesh, replicate_state,
+                                            shard_batch)
+    from s4former_tpu.semi.config import SemiConfig
+    from s4former_tpu.semi.train_step import (create_train_state,
+                                              make_semi_train_step)
+
+    n_chips = len(jax.devices())
+    sup_per_chip = int(os.environ.get('BENCH_SUP_PER_CHIP', 4))
+    unsup_per_chip = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 4))
+    steps = int(os.environ.get('BENCH_STEPS', 20))
+    warmup = int(os.environ.get('BENCH_WARMUP', 3))
+
+    model = build_segmentor(FLAGSHIP)
+    variables = init_segmentor_variables(
+        model, jax.random.PRNGKey(0), (1, 512, 512, 3))
+    state = create_train_state(variables, ema=True)
+
+    cfg = SemiConfig(
+        ema=True, ema_momentum=0.999, unsup_weight=1.0,
+        unsup_confidence=0.95, attn_mask_seperate_head=True,
+        attn_mask_weight=5.0, adaptive_attn_mask=True,
+        use_PatchShuffle_w_Cutmix=True, PatchMix_N=8,
+        negative_class_ranking=True,
+        negative_class_ranking_mode='unsup_only')
+    step_fn = jax.jit(make_semi_train_step(
+        model, cfg, num_classes=21, base_lr=0.001, max_iters=80001))
+
+    mesh = make_mesh()
+    state = replicate_state(mesh, state)
+    bs = sup_per_chip * n_chips
+    bu = unsup_per_chip * n_chips
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        'sup_img': rng.randn(bs, 512, 512, 3).astype(np.float32),
+        'sup_gt': rng.randint(0, 21, (bs, 512, 512)).astype(np.int32),
+        'unsup_teacher_img': rng.randn(bu, 512, 512, 3).astype(np.float32),
+        'unsup_student_img': rng.randn(bu, 512, 512, 3).astype(np.float32),
+    })
+
+    key = jax.random.PRNGKey(0)
+    with mesh:
+        for i in range(warmup):
+            state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, logs = step_fn(state, batch,
+                                  jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+
+    imgs_per_step = bs + bu
+    img_per_sec_per_chip = imgs_per_step * steps / dt / n_chips
+    print(json.dumps({
+        'metric': 'images/sec/chip',
+        'value': round(img_per_sec_per_chip, 3),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(
+            img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -9,3 +9,7 @@ __version__ = '0.1.0'
 from s4former_tpu.config import Config, ConfigDict, DictAction  # noqa: F401
 from s4former_tpu.registry import (BACKBONES, DATASETS, HEADS, LOSSES,  # noqa: F401
                                    MODELS, PIPELINES, SAMPLERS, SEGMENTORS)
+
+from s4former_tpu.utils.env import setup_compilation_cache as _scc
+_scc()
+del _scc

@@ -1,0 +1,1 @@
+from s4former_tpu.core import checkpoint, metrics, optim  # noqa: F401

@@ -1,1 +1,2 @@
 from s4former_tpu.models.decode_heads.setr_up import SETRUPHead  # noqa: F401
+from s4former_tpu.models.decode_heads.segformer import SegformerHead  # noqa: F401

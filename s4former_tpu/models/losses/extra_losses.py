@@ -1,0 +1,186 @@
+"""Additional segmentation losses: OHEM CE, Dice, Focal, Lovasz.
+
+Rebuild of the reference loss zoo (reference:
+mmseg/models/losses/ohem_cross_entropy_loss.py, dice_loss.py,
+focal_loss.py, lovasz_loss.py; exported in losses/__init__.py:1-17) as
+fixed-shape jnp — the reference's boolean indexing (OHEM keep-mask, Lovasz
+per-class gathers) becomes masked sorts, which is what the TPU wants.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.models.losses.cross_entropy import \
+    softmax_cross_entropy_with_ignore
+from s4former_tpu.registry import LOSSES
+
+Array = jax.Array
+
+
+@LOSSES.register_module()
+class OHEM_CrossEntropyLoss:
+    """Online hard-example mining CE (ohem_cross_entropy_loss.py).
+
+    Keeps pixels whose predicted target-class prob < ``thres``; if fewer
+    than ``min_kept`` qualify, keeps the ``min_kept`` hardest. Fixed-shape:
+    sort per-pixel losses instead of boolean indexing.
+    """
+
+    def __init__(self, thres: float = 0.7, min_kept: int = 100000,
+                 loss_weight: float = 1.0, ignore_index: int = 255,
+                 loss_name: str = 'loss_ohem', **kwargs):
+        self.thres = thres
+        self.min_kept = min_kept
+        self.loss_weight = loss_weight
+        self.ignore_index = ignore_index
+        self.loss_name = loss_name
+
+    def __call__(self, logits: Array, label: Array,
+                 ignore_index: Optional[int] = None, **kwargs) -> Array:
+        ignore = self.ignore_index if ignore_index is None else ignore_index
+        nll, valid = softmax_cross_entropy_with_ignore(logits, label, ignore)
+        nll = nll.reshape(-1)
+        valid = valid.reshape(-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        safe = jnp.where(label == ignore, 0, label).astype(jnp.int32)
+        tgt_prob = jnp.take_along_axis(
+            probs, safe[..., None], axis=-1)[..., 0].reshape(-1)
+        hard = (tgt_prob < self.thres) & (valid > 0)
+        # rank pixels by difficulty (ascending target prob); force-keep the
+        # min_kept hardest valid pixels
+        order_prob = jnp.where(valid > 0, tgt_prob, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(order_prob))
+        kept = hard | ((rank < self.min_kept) & (valid > 0))
+        keptf = kept.astype(jnp.float32)
+        return self.loss_weight * jnp.sum(nll * keptf) / \
+            jnp.maximum(jnp.sum(keptf), 1.0)
+
+
+@LOSSES.register_module()
+class DiceLoss:
+    """(dice_loss.py): 1 - 2|X∩Y| / (|X|+|Y|), softmax multi-class."""
+
+    def __init__(self, smooth: float = 1.0, exponent: float = 2.0,
+                 loss_weight: float = 1.0, ignore_index: int = 255,
+                 class_weight: Optional[Sequence[float]] = None,
+                 loss_name: str = 'loss_dice', **kwargs):
+        self.smooth = smooth
+        self.exponent = exponent
+        self.loss_weight = loss_weight
+        self.ignore_index = ignore_index
+        self.class_weight = class_weight
+        self.loss_name = loss_name
+
+    def __call__(self, logits: Array, label: Array,
+                 ignore_index: Optional[int] = None, **kwargs) -> Array:
+        ignore = self.ignore_index if ignore_index is None else ignore_index
+        num_classes = logits.shape[-1]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        valid = (label != ignore)
+        safe = jnp.where(valid, label, 0).astype(jnp.int32)
+        onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+        onehot = onehot * valid[..., None]
+        probs = probs * valid[..., None]
+        dims = tuple(range(probs.ndim - 1))
+        num = 2.0 * jnp.sum(probs * onehot, axis=dims) + self.smooth
+        den = jnp.sum(probs ** self.exponent, axis=dims) + \
+            jnp.sum(onehot ** self.exponent, axis=dims) + self.smooth
+        dice = 1.0 - num / den
+        if self.class_weight is not None:
+            dice = dice * jnp.asarray(self.class_weight, jnp.float32)
+        return self.loss_weight * jnp.mean(dice)
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    """(focal_loss.py): sigmoid focal loss, gamma/alpha."""
+
+    def __init__(self, gamma: float = 2.0, alpha: float = 0.5,
+                 loss_weight: float = 1.0, ignore_index: int = 255,
+                 loss_name: str = 'loss_focal', **kwargs):
+        self.gamma = gamma
+        self.alpha = alpha
+        self.loss_weight = loss_weight
+        self.ignore_index = ignore_index
+        self.loss_name = loss_name
+
+    def __call__(self, logits: Array, label: Array,
+                 ignore_index: Optional[int] = None, **kwargs) -> Array:
+        ignore = self.ignore_index if ignore_index is None else ignore_index
+        num_classes = logits.shape[-1]
+        logits = logits.astype(jnp.float32)
+        valid = (label != ignore)
+        safe = jnp.where(valid, label, 0).astype(jnp.int32)
+        onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+        p = jax.nn.sigmoid(logits)
+        pt = p * onehot + (1 - p) * (1 - onehot)
+        alpha_t = self.alpha * onehot + (1 - self.alpha) * (1 - onehot)
+        bce = jnp.maximum(logits, 0) - logits * onehot + \
+            jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        per = alpha_t * ((1 - pt) ** self.gamma) * bce
+        per = jnp.sum(per, axis=-1) * valid
+        return self.loss_weight * jnp.sum(per) / \
+            jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+
+def _lovasz_grad(gt_sorted: Array) -> Array:
+    """Gradient of the Lovasz extension w.r.t. sorted errors."""
+    gts = jnp.sum(gt_sorted)
+    n = gt_sorted.shape[0]
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+@LOSSES.register_module()
+class LovaszLoss:
+    """(lovasz_loss.py): multi-class Lovasz-softmax, per-image, fixed-shape
+    (ignored pixels sort to the end with zero error/weight)."""
+
+    def __init__(self, loss_type: str = 'multi_class', per_image: bool = False,
+                 classes='present', loss_weight: float = 1.0,
+                 ignore_index: int = 255, reduction: str = 'mean',
+                 loss_name: str = 'loss_lovasz', **kwargs):
+        self.per_image = per_image
+        self.loss_weight = loss_weight
+        self.ignore_index = ignore_index
+        self.loss_name = loss_name
+
+    def _image_loss(self, probs: Array, label: Array) -> Array:
+        # probs [P, C] f32, label [P] int
+        num_classes = probs.shape[-1]
+        valid = (label != self.ignore_index)
+        validf = valid.astype(jnp.float32)
+        safe = jnp.where(valid, label, 0).astype(jnp.int32)
+        onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+        onehot = onehot * validf[:, None]
+
+        def class_loss(c):
+            fg = onehot[:, c]
+            err = jnp.abs(fg - probs[:, c]) * validf
+            order = jnp.argsort(-err)
+            err_s = err[order]
+            fg_s = fg[order]
+            grad = _lovasz_grad(fg_s)
+            loss_c = jnp.sum(err_s * grad)
+            present = jnp.sum(fg) > 0
+            return loss_c, present.astype(jnp.float32)
+
+        losses, present = jax.vmap(class_loss)(jnp.arange(num_classes))
+        return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+    def __call__(self, logits: Array, label: Array,
+                 ignore_index: Optional[int] = None, **kwargs) -> Array:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        b = probs.shape[0]
+        flat_p = probs.reshape(b, -1, probs.shape[-1])
+        flat_l = label.reshape(b, -1)
+        if self.per_image:
+            per = jax.vmap(self._image_loss)(flat_p, flat_l)
+            return self.loss_weight * jnp.mean(per)
+        return self.loss_weight * self._image_loss(
+            flat_p.reshape(-1, probs.shape[-1]), flat_l.reshape(-1))

@@ -62,11 +62,22 @@ def multi_head_attention(
     ``return_probs=True`` request falls back to XLA (debug/visualization
     only — mirrors the reference where attention capture is a side path).
     """
-    if return_probs or not use_flash:
+    if return_probs or not use_flash or not _flash_available():
         return dot_product_attention(q, k, v, bias, return_probs)
-    try:
-        from s4former_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, bias=bias), None
-    except Exception:
-        # Pallas unavailable (e.g. CPU test mesh) — XLA path is bit-sane.
-        return dot_product_attention(q, k, v, bias, False)
+    from s4former_tpu.ops.flash_attention import flash_attention
+    return flash_attention(q, k, v, bias=bias), None
+
+
+_FLASH_OK = None
+
+
+def _flash_available() -> bool:
+    """Pallas TPU kernels require a TPU backend; the CPU test mesh and any
+    virtual-device dry run take the XLA path."""
+    global _FLASH_OK
+    if _FLASH_OK is None:
+        try:
+            _FLASH_OK = jax.default_backend() == 'tpu'
+        except Exception:
+            _FLASH_OK = False
+    return _FLASH_OK

@@ -39,21 +39,27 @@ def _output_size(in_hw: Tuple[int, int],
 
 def _linear_weights(in_size: int, out_size: int, align_corners: bool,
                     dtype=jnp.float32):
-    """Return (lo_idx, hi_idx, hi_weight) arrays of length out_size."""
+    """Return (lo_idx, hi_idx, hi_weight) arrays of length out_size.
+
+    Shapes are static under jit, so the coordinate math runs host-side in
+    float64 (matching torch's internal precision) and constant-folds into
+    the compiled program.
+    """
+    import numpy as np
     if out_size == in_size:
         idx = jnp.arange(out_size)
         return idx, idx, jnp.zeros((out_size,), dtype)
     if align_corners and out_size > 1:
-        src = jnp.arange(out_size, dtype=dtype) * (in_size - 1) / (out_size - 1)
+        src = np.arange(out_size, dtype=np.float64) * \
+            (in_size - 1) / (out_size - 1)
     else:
         scale = in_size / out_size
-        src = (jnp.arange(out_size, dtype=dtype) + 0.5) * scale - 0.5
-        src = jnp.clip(src, 0.0, in_size - 1)
-    lo = jnp.floor(src).astype(jnp.int32)
-    lo = jnp.clip(lo, 0, in_size - 1)
-    hi = jnp.clip(lo + 1, 0, in_size - 1)
-    w = (src - lo.astype(dtype)).astype(dtype)
-    return lo, hi, w
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w, dtype)
 
 
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
@@ -82,10 +88,11 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
 
 
 def _nearest_indices(in_size: int, out_size: int) -> jax.Array:
-    # torch legacy nearest: src = floor(dst * in/out)
-    idx = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) *
-                    (in_size / out_size)).astype(jnp.int32)
-    return jnp.clip(idx, 0, in_size - 1)
+    # torch legacy nearest: src = floor(dst * in/out); float64 on host
+    import numpy as np
+    idx = np.floor(np.arange(out_size, dtype=np.float64) *
+                   (in_size / out_size)).astype(np.int32)
+    return jnp.asarray(np.clip(idx, 0, in_size - 1))
 
 
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

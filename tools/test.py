@@ -1,0 +1,120 @@
+"""Evaluation/inference CLI.
+
+Rebuild of the reference tools/test.py (reference: tools/test.py, apis
+single_gpu_test/multi_gpu_test at mmseg/apis/test.py:34,140):
+    python tools/test.py CONFIG CHECKPOINT [--eval mIoU] [--show-dir D]
+        [--cfg-options k=v ...]
+Accepts orbax checkpoints (ours) or .pth state_dicts (reference format).
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Test a segmentor (TPU)')
+    parser.add_argument('config')
+    parser.add_argument('checkpoint', nargs='?', default=None)
+    parser.add_argument('--eval', nargs='+', default=['mIoU'])
+    parser.add_argument('--show-dir', help='save painted results here')
+    parser.add_argument('--opacity', type=float, default=0.5)
+    from s4former_tpu.config import DictAction
+    parser.add_argument('--cfg-options', nargs='+', action=DictAction,
+                        default={})
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import s4former_tpu.data  # noqa: F401
+    import s4former_tpu.models  # noqa: F401
+    from s4former_tpu.config import Config
+    from s4former_tpu.core import checkpoint as ckpt_lib
+    from s4former_tpu.data.datasets.custom import build_dataset
+    from s4former_tpu.models import build_segmentor, init_segmentor_variables
+    from s4former_tpu.models.segmentors.inference import inference
+    from s4former_tpu.utils.logger import get_root_logger
+    from s4former_tpu.utils.palette import paint_result
+
+    logger = get_root_logger()
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+
+    model = build_segmentor(cfg.model)
+    crop = tuple(cfg.get('crop_size', (512, 512)))
+    variables = init_segmentor_variables(
+        model, jax.random.PRNGKey(0), (1, crop[0], crop[1], 3))
+    if args.checkpoint:
+        if args.checkpoint.endswith(('.pth', '.pt')):
+            bb = cfg.model.get('backbone', {})
+            pre = ckpt_lib.convert_mmseg_checkpoint(
+                args.checkpoint, num_layers=bb.get('num_layers', 12),
+                dst_grid=(crop[0] // bb.get('patch_size', 16),
+                          crop[1] // bb.get('patch_size', 16)))
+            variables = ckpt_lib.merge_pretrained(variables, pre)
+        else:
+            from s4former_tpu.semi.train_step import create_train_state
+            state = create_train_state(variables, ema=False)
+            state = ckpt_lib.load_checkpoint(args.checkpoint, state)
+            variables = {'params': state.params,
+                         'batch_stats': state.batch_stats}
+        logger.info(f'loaded {args.checkpoint}')
+
+    dataset = build_dataset(cfg.data['test'])
+    n_cls = len(dataset.CLASSES)
+    test_mode = (cfg.model.get('test_cfg') or {}).get('mode', 'whole')
+    stride = tuple((cfg.model.get('test_cfg') or {}).get(
+        'stride', (341, 341)))
+
+    @jax.jit
+    def predict(img):
+        probs = inference(
+            lambda x: model.apply(variables, x, train=False),
+            img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    pre_eval_results = []
+    for idx in range(len(dataset)):
+        item = dataset.get_item_deterministic(idx, seed=0)
+        if isinstance(item, list):
+            item = item[0]
+        img = np.asarray(item['img'], np.float32)[None]
+        pred = np.asarray(predict(img))[0]
+        gt = dataset.get_gt_seg_map(idx)
+        if pred.shape != gt.shape:
+            from PIL import Image
+            pred = np.asarray(Image.fromarray(pred.astype(np.uint8)).resize(
+                (gt.shape[1], gt.shape[0]), Image.NEAREST))
+        if args.show_dir:
+            os.makedirs(args.show_dir, exist_ok=True)
+            out = paint_result(
+                dataset.img_infos[idx]['filename'], pred,
+                dataset.PALETTE, opacity=args.opacity)
+            from PIL import Image
+            Image.fromarray(out).save(osp.join(
+                args.show_dir,
+                osp.basename(dataset.img_infos[idx]['ori_filename'])
+                .replace('.jpg', '.png')))
+        pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
+        if (idx + 1) % 50 == 0:
+            logger.info(f'{idx + 1}/{len(dataset)} images')
+
+    results = dataset.evaluate(pre_eval_results, metric=args.eval)
+    for k, v in results.items():
+        if not any(k.startswith(p) for p in ('IoU.', 'Acc.', 'Dice.',
+                                             'Fscore.')):
+            logger.info(f'{k}: {v:.4f}')
+    print({k: round(v, 4) for k, v in results.items()
+           if k in ('aAcc', 'mIoU', 'mAcc', 'mDice', 'mFscore')})
+
+
+if __name__ == '__main__':
+    main()
