@@ -40,7 +40,14 @@ def main():
     steps = int(os.environ.get('BENCH_STEPS', 20))
     warmup = int(os.environ.get('BENCH_WARMUP', 3))
 
-    model = build_segmentor(FLAGSHIP)
+    import copy
+    flagship = copy.deepcopy(FLAGSHIP)
+    dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
+    flagship['backbone']['dtype'] = dtype
+    flagship['decode_head']['dtype'] = dtype
+    for aux in flagship['auxiliary_head']:
+        aux['dtype'] = dtype
+    model = build_segmentor(flagship)
     variables = init_segmentor_variables(
         model, jax.random.PRNGKey(0), (1, 512, 512, 3))
     state = create_train_state(variables, ema=True)

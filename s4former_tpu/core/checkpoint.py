@@ -168,28 +168,39 @@ def convert_vit_backbone(sd: Dict[str, np.ndarray],
             'kernel': np.transpose(w, (2, 3, 1, 0)),
             'bias': sd['patch_embed.projection.bias'],
         }
-    for i in range(num_layers):
-        pre = f'layers.{i}.'
-        if pre + 'ln1.weight' not in sd:
-            continue
-        p[f'layers_{i}'] = {
-            'ln1': {'scale': sd[pre + 'ln1.weight'],
-                    'bias': sd[pre + 'ln1.bias']},
-            'ln2': {'scale': sd[pre + 'ln2.weight'],
-                    'bias': sd[pre + 'ln2.bias']},
+    # transformer layers -> STACKED scan layout (our ViT runs the stack as
+    # one lax.scan; every per-layer weight gets a leading [num_layers] axis
+    # under params['layers']['block'])
+    def stack(fn):
+        return np.stack([fn(f'layers.{i}.') for i in range(num_layers)])
+
+    if 'layers.0.ln1.weight' in sd:
+        p['layers'] = {'block': {
+            'ln1': {'scale': stack(lambda pre: sd[pre + 'ln1.weight']),
+                    'bias': stack(lambda pre: sd[pre + 'ln1.bias'])},
+            'ln2': {'scale': stack(lambda pre: sd[pre + 'ln2.weight']),
+                    'bias': stack(lambda pre: sd[pre + 'ln2.bias'])},
             'attn': {
-                'qkv': {'kernel': sd[pre + 'attn.attn.in_proj_weight'].T,
-                        'bias': sd[pre + 'attn.attn.in_proj_bias']},
-                'proj': {'kernel': sd[pre + 'attn.attn.out_proj.weight'].T,
-                         'bias': sd[pre + 'attn.attn.out_proj.bias']},
+                'qkv': {'kernel': stack(
+                    lambda pre: sd[pre + 'attn.attn.in_proj_weight'].T),
+                        'bias': stack(
+                    lambda pre: sd[pre + 'attn.attn.in_proj_bias'])},
+                'proj': {'kernel': stack(
+                    lambda pre: sd[pre + 'attn.attn.out_proj.weight'].T),
+                         'bias': stack(
+                    lambda pre: sd[pre + 'attn.attn.out_proj.bias'])},
             },
             'ffn': {
-                'fc1': {'kernel': sd[pre + 'ffn.layers.0.0.weight'].T,
-                        'bias': sd[pre + 'ffn.layers.0.0.bias']},
-                'fc2': {'kernel': sd[pre + 'ffn.layers.1.weight'].T,
-                        'bias': sd[pre + 'ffn.layers.1.bias']},
+                'fc1': {'kernel': stack(
+                    lambda pre: sd[pre + 'ffn.layers.0.0.weight'].T),
+                        'bias': stack(
+                    lambda pre: sd[pre + 'ffn.layers.0.0.bias'])},
+                'fc2': {'kernel': stack(
+                    lambda pre: sd[pre + 'ffn.layers.1.weight'].T),
+                        'bias': stack(
+                    lambda pre: sd[pre + 'ffn.layers.1.bias'])},
             },
-        }
+        }}
     return p, {}
 
 

@@ -140,6 +140,38 @@ class TransformerEncoderLayer(nn.Module):
         return x + z, probs
 
 
+class _LayerScanBody(nn.Module):
+    """Scan body: one encoder layer; carry = tokens, per-step output =
+    tokens (so ``ys[i]`` is layer i's output for out_indices taps)."""
+    embed_dims: int
+    num_heads: int
+    feedforward_channels: int
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    use_flash: bool = True
+    norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry: Array, attn_bias: Optional[Array]):
+        out, _ = TransformerEncoderLayer(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            qkv_bias=self.qkv_bias,
+            use_flash=self.use_flash,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            name='block')(carry, attn_bias, self.deterministic, False)
+        return out, out
+
+
 def _resize_pos_embed(pos_embed: Array, hw: Tuple[int, int],
                       with_cls_token: bool) -> Array:
     """Runtime bilinear pos-embed resize (reference vit.py:416-477)."""
@@ -211,6 +243,7 @@ class VisionTransformer(nn.Module):
     final_norm: bool = False
     norm_eps: float = 1e-6
     use_flash: bool = True
+    remat_layers: bool = True
     dtype: jnp.dtype = jnp.float32  # compute dtype for matmuls
     # accepted-and-ignored config keys for parity with reference configs
     interpolate_mode: str = 'bilinear'
@@ -269,44 +302,95 @@ class VisionTransformer(nn.Module):
         if not self.with_cls_token:
             tokens = tokens[:, 1:] if tokens.shape[1] != num_patches else tokens
 
+        deterministic = not train
+
+        # ---- transformer stack as ONE lax.scan over stacked layer params.
+        # TPU-native: the 12 identical blocks trace/compile once instead of
+        # 12x (the unrolled reference shape would multiply both tracing and
+        # XLA compile time; on TPU the executable is the same loop).
+        body_cls = _LayerScanBody
+        if self.remat_layers:
+            # rematerialize each block in backward: HBM stores only the
+            # per-layer activations (jax.checkpoint; SURVEY.md hard-parts:
+            # three student forwards per step at bs8/replica)
+            body_cls = nn.remat(_LayerScanBody, prevent_cse=False,
+                                static_argnums=())
+        scan_cls = nn.scan(
+            body_cls,
+            variable_axes={'params': 0},
+            split_rngs={'params': True, 'dropout': True},
+            in_axes=nn.broadcast,
+            length=self.num_layers,
+            out_axes=0)
+        tokens_final, states = scan_cls(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            feedforward_channels=self.mlp_ratio * self.embed_dims,
+            drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            qkv_bias=self.qkv_bias,
+            use_flash=self.use_flash,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            deterministic=deterministic,
+            name='layers')(tokens, attn_bias)
+        del tokens_final
+        # states[i] == output of layer i, shape [num_layers, B, T, C]
+
         outs = []
         attns = []
-        deterministic = not train
-        for i in range(self.num_layers):
-            tokens, probs = TransformerEncoderLayer(
-                embed_dims=self.embed_dims,
-                num_heads=self.num_heads,
-                feedforward_channels=self.mlp_ratio * self.embed_dims,
-                drop_rate=self.drop_rate,
-                attn_drop_rate=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate,
-                qkv_bias=self.qkv_bias,
-                use_flash=self.use_flash,
-                norm_eps=self.norm_eps,
-                dtype=self.dtype,
-                name=f'layers_{i}')(
-                    tokens, attn_bias, deterministic,
-                    return_attn and i in self.out_indices)
+        for i in self.out_indices:
+            layer_out = states[i]
             if i == self.num_layers - 1 and self.final_norm:
-                tokens = nn.LayerNorm(epsilon=self.norm_eps, name='ln_final',
-                                      dtype=jnp.float32)(tokens)
-            if i in self.out_indices:
-                feat_tokens = tokens[:, 1:] if self.with_cls_token else tokens
-                out = feat_tokens.reshape(b, hw[0], hw[1], self.embed_dims)
-                if use_fdrop:
-                    # channelwise Dropout2d(0.5) (reference vit.py:563-564)
-                    rng = self.make_rng('fdrop')
-                    keep = jax.random.bernoulli(
-                        rng, 0.5, (b, 1, 1, self.embed_dims))
-                    out = jnp.where(keep, out * 2.0, 0.0)
-                if self.output_cls_token:
-                    outs.append([out, tokens[:, 0]])
-                else:
-                    outs.append(out)
-                if return_attn and probs is not None:
-                    # strip the cls row/col like the reference (vit.py:551-553)
-                    attns.append(probs[:, :, 1:, 1:]
-                                 if self.with_cls_token else probs)
+                layer_out = nn.LayerNorm(epsilon=self.norm_eps,
+                                         name='ln_final',
+                                         dtype=jnp.float32)(layer_out)
+            feat_tokens = layer_out[:, 1:] if self.with_cls_token \
+                else layer_out
+            out = feat_tokens.reshape(b, hw[0], hw[1], self.embed_dims)
+            if use_fdrop:
+                # channelwise Dropout2d(0.5) (reference vit.py:563-564)
+                rng = self.make_rng('fdrop')
+                keep = jax.random.bernoulli(
+                    rng, 0.5, (b, 1, 1, self.embed_dims))
+                out = jnp.where(keep, out * 2.0, 0.0)
+            if self.output_cls_token:
+                outs.append([out, layer_out[:, 0]])
+            else:
+                outs.append(out)
+            if return_attn:
+                attns.append(self._attn_probs_for_layer(i, states, tokens,
+                                                        attn_bias))
         if return_attn:
             return tuple(outs), (attns, hw)
         return tuple(outs)
+
+    def _attn_probs_for_layer(self, i: int, states: Array,
+                              tokens0: Array,
+                              attn_bias: Optional[Array]) -> Array:
+        """Recompute layer i's attention probabilities from the stacked
+        scan parameters (explicit debug path replacing the reference's
+        patched-mmcv ``.self_attn`` capture, vit.py:546-569)."""
+        p = self.variables['params']['layers']['block']
+        x_in = tokens0 if i == 0 else states[i - 1]
+        g = p['ln1']['scale'][i].astype(jnp.float32)
+        bta = p['ln1']['bias'][i].astype(jnp.float32)
+        xf = x_in.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.norm_eps) * g + bta
+        w = p['attn']['qkv']['kernel'][i]
+        bqkv = p['attn']['qkv']['bias'][i] if 'bias' in p['attn']['qkv'] \
+            else 0.0
+        qkv = y.astype(w.dtype) @ w + bqkv
+        q, k, _ = jnp.split(qkv, 3, axis=-1)
+        bsz, l, c = q.shape
+        h = self.num_heads
+        d = c // h
+        from s4former_tpu.ops.attention import dot_product_attention
+        _, probs = dot_product_attention(
+            q.reshape(bsz, l, h, d), k.reshape(bsz, l, h, d),
+            jnp.zeros((bsz, l, h, d), q.dtype), bias=attn_bias,
+            return_probs=True)
+        return probs[:, :, 1:, 1:] if self.with_cls_token else probs

@@ -1,2 +1,5 @@
 from s4former_tpu.models.decode_heads.setr_up import SETRUPHead  # noqa: F401
 from s4former_tpu.models.decode_heads.segformer import SegformerHead  # noqa: F401
+from s4former_tpu.models.decode_heads.misc_heads import (  # noqa: F401
+    FCNHead, PSPHead, SETRMLAHead)
+from s4former_tpu.models.decode_heads.projection import ProjectionHead, ViTClsHead  # noqa: F401

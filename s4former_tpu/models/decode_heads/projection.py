@@ -1,0 +1,78 @@
+"""Projection / contrastive heads (ablation hooks).
+
+Rebuilds of the reference's contrastive machinery
+(reference: mmseg/models/decode_heads/projection_head.py,
+feature_contrast.py:197, feature_contrast_v2.py:191, vit_cls_head.py —
+constructor hooks exist in the segmentor, encoder_decoder.py:165-173, but
+no shipped config uses them; provided for API completeness).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.registry import HEADS
+
+Array = jax.Array
+
+
+@HEADS.register_module()
+class ProjectionHead(nn.Module):
+    """MLP projector: feature map -> l2-normalized embedding map."""
+    in_channels: int = 768
+    channels: int = 256
+    num_layers: int = 2
+    in_index: int = -1
+    init_cfg: Optional[Union[dict, list]] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False, **kwargs) -> Array:
+        x = inputs[self.in_index] if isinstance(inputs, (list, tuple)) \
+            else inputs
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.channels, name=f'fc{i}')(x))
+        x = nn.Dense(self.channels, name=f'fc{self.num_layers - 1}')(x)
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@HEADS.register_module()
+class ViTClsHead(nn.Module):
+    """Classification head over the ViT cls token (vit_cls_head.py)."""
+    in_channels: int = 768
+    num_classes: int = 1000
+    init_cfg: Optional[Union[dict, list]] = None
+
+    @nn.compact
+    def __call__(self, cls_token: Array, *, train: bool = False) -> Array:
+        return nn.Dense(self.num_classes, name='fc')(cls_token)
+
+
+def feature_contrast_loss(features: Array, labels: Array,
+                          memory_bank: Array, memory_count: Array,
+                          temperature: float = 0.1) -> Array:
+    """Supervised pixel-contrastive loss against a per-class memory bank
+    (feature_contrast.py): pull pixel embeddings toward their class's
+    banked features, push from other classes'. Fixed-shape masked softmax.
+
+    features [P, D] l2-normalized; labels [P] int; memory_bank [C, N, D];
+    memory_count [C] valid counts.
+    """
+    c, n, d = memory_bank.shape
+    flat_bank = memory_bank.reshape(c * n, d)
+    slot_class = jnp.repeat(jnp.arange(c), n)
+    slot_valid = (jnp.arange(n)[None, :] <
+                  memory_count[:, None]).reshape(-1)
+    sims = features @ flat_bank.T / temperature          # [P, C*N]
+    sims = jnp.where(slot_valid[None, :], sims, -1e30)
+    logsum_all = jax.nn.logsumexp(sims, axis=1)
+    pos_mask = (slot_class[None, :] == labels[:, None]) & slot_valid[None]
+    pos_sims = jnp.where(pos_mask, sims, -1e30)
+    logsum_pos = jax.nn.logsumexp(pos_sims, axis=1)
+    has_pos = jnp.any(pos_mask, axis=1)
+    per_pixel = jnp.where(has_pos, logsum_all - logsum_pos, 0.0)
+    return jnp.sum(per_pixel) / jnp.maximum(
+        jnp.sum(has_pos.astype(jnp.float32)), 1.0)

@@ -1,0 +1,2 @@
+from s4former_tpu.models.necks.necks import (  # noqa: F401
+    FPN, Feature2Pyramid, MLANeck, MultiLevelNeck)

@@ -1,0 +1,127 @@
+"""Necks: MLA (SETR-MLA), MultiLevelNeck, Feature2Pyramid, FPN.
+
+Rebuild of the reference neck zoo (reference: mmseg/models/necks/
+mla_neck.py, multilevel_neck.py, featurepyramid.py, fpn.py; exports in
+necks/__init__.py). SETR-PUP uses no neck; MLA is the SETR-MLA variant
+(SURVEY.md §2.4). All NHWC.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.ops.resize import resize_bilinear
+from s4former_tpu.registry import NECKS
+
+Array = jax.Array
+
+
+class ConvReLU(nn.Module):
+    out_channels: int
+    kernel: int = 1
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
+                    padding=pad, use_bias=not self.use_norm, name='conv')(x)
+        if self.use_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name='bn', dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+@NECKS.register_module()
+class MLANeck(nn.Module):
+    """(mla_neck.py): per-level 1x1 conv + top-down cumulative aggregation
+    + 3x3 conv, SETR-MLA style."""
+    in_channels: Sequence[int] = (1024, 1024, 1024, 1024)
+    out_channels: int = 256
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        n = len(inputs)
+        # channel-project each level
+        feats = [ConvReLU(self.out_channels, 1, use_norm=True,
+                          name=f'proj_{i}')(x, train)
+                 for i, x in enumerate(inputs)]
+        # top-down cumulative sum (deepest first)
+        agg = [None] * n
+        acc = feats[-1]
+        agg[-1] = acc
+        for i in range(n - 2, -1, -1):
+            acc = feats[i] + acc
+            agg[i] = acc
+        outs = [ConvReLU(self.out_channels, 3, use_norm=True,
+                         name=f'smooth_{i}')(agg[i], train)
+                for i in range(n)]
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class MultiLevelNeck(nn.Module):
+    """(multilevel_neck.py): 1x1 lateral + per-level rescale + 3x3 conv."""
+    in_channels: Sequence[int] = (768, 768, 768, 768)
+    out_channels: int = 768
+    scales: Sequence[float] = (0.5, 1, 2, 4)
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        outs = []
+        for i, x in enumerate(inputs):
+            y = nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}')(x)
+            s = self.scales[i]
+            if s != 1:
+                y = resize_bilinear(
+                    y, (int(y.shape[1] * s), int(y.shape[2] * s)), False)
+            y = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name=f'conv_{i}')(y)
+            outs.append(y)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class Feature2Pyramid(nn.Module):
+    """(featurepyramid.py): rescale same-stride ViT features to a
+    pyramid."""
+    embed_dim: int = 768
+    rescales: Sequence[float] = (4, 2, 1, 0.5)
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        outs = []
+        for i, x in enumerate(inputs):
+            s = self.rescales[i]
+            if s != 1:
+                x = resize_bilinear(
+                    x, (int(x.shape[1] * s), int(x.shape[2] * s)), False)
+            outs.append(x)
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class FPN(nn.Module):
+    """(fpn.py): classic feature pyramid."""
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 4
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        laterals = [nn.Conv(self.out_channels, (1, 1),
+                            name=f'lateral_{i}')(x)
+                    for i, x in enumerate(inputs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = resize_bilinear(laterals[i], laterals[i - 1].shape[1:3],
+                                 False)
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name=f'fpn_{i}')(laterals[i])
+                for i in range(len(laterals))]
+        return tuple(outs[:self.num_outs])

@@ -39,7 +39,11 @@ def _is_cfg(obj) -> bool:
 def _build_module(cfg):
     if cfg is None:
         return None
-    return MODELS.build({k: v for k, v in cfg.items()})
+    kwargs = {k: v for k, v in cfg.items()}
+    # configs are plain python dicts; accept dtype as a string
+    if isinstance(kwargs.get('dtype'), str):
+        kwargs['dtype'] = jnp.dtype(kwargs['dtype'])
+    return MODELS.build(kwargs)
 
 
 @SEGMENTORS.register_module()

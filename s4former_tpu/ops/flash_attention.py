@@ -6,17 +6,17 @@ with a blockwise online-softmax kernel that never materializes the
 [B, H, L, L] score matrix — and accepts the PASA additive bias
 (vit.py:519-541) as a [B, 1|H, L, L] input streamed block-by-block.
 
-Layout: q, k, v are [B, L, H, D]; grid is (B, H, Lq/BLK_Q); the k/v loop is
-the innermost grid axis so the compiler pipelines HBM->VMEM block fetches.
-Forward saves per-row logsumexp; backward recomputes probabilities
-blockwise (flash-attention-2 style: dv/dk from a q-loop kernel, dq from a
-k-loop kernel).
+Internal layout: q, k, v are flattened to [B*H, L, D] (TPU block rules:
+the last two block dims must be (8,128)-aligned or full — D=64 rides as a
+full dim). Forward saves per-row logsumexp; backward recomputes
+probabilities blockwise (flash-attention-2 style: dk/dv from a q-loop
+kernel, dq from a k-loop kernel).
 
 The bias input is treated as non-differentiable (PASA bias comes from
 stop-gradient'd teacher confidence; the learnable-sigma ablation uses the
-XLA path). Sequence lengths are padded to BLK multiples in the wrapper;
-padded KEY positions are masked with -inf in-kernel, padded QUERY rows are
-sliced off on return.
+XLA path). Sequence lengths are padded to block multiples in the wrapper;
+padded KEY positions are masked with -inf in-kernel; padded QUERY rows
+produce garbage that is sliced off on return.
 """
 from __future__ import annotations
 
@@ -39,12 +39,25 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _bias_spec(num_heads, bias_heads, blk_q, blk_k, kv_inner):
+    """BlockSpec for bias [B, bias_heads, Lq, Lk] on a (BH, x, y) grid."""
+    if kv_inner:
+        def imap(bh, qi, ki):
+            return (bh // num_heads,
+                    (bh % num_heads) if bias_heads > 1 else 0, qi, ki)
+    else:
+        def imap(bh, ki, qi):
+            return (bh // num_heads,
+                    (bh % num_heads) if bias_heads > 1 else 0, qi, ki)
+    return pl.BlockSpec((1, 1, blk_q, blk_k), imap,
+                        memory_space=pltpu.VMEM)
+
+
 # ================================================================ forward
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, sm_scale, blk_k, kv_len,
-                valid_len):
-    kb = pl.program_id(3)
-    nkb = pl.num_programs(3)
+                acc_ref, m_ref, l_ref, *, sm_scale, blk_k, valid_len):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
 
     @pl.when(kb == 0)
     def _init():
@@ -52,17 +65,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, :, 0, :]                     # [BLK_Q, D]
-    k = k_ref[0, :, 0, :]                     # [BLK_K, D]
+    q = q_ref[0]                              # [BLK_Q, D]
+    k = k_ref[0]                              # [BLK_K, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :, :].astype(jnp.float32)
-    # mask padded keys
-    if valid_len % blk_k != 0 or valid_len != kv_len:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
-        s = jnp.where(col < valid_len, s, NEG_INF)
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
+    s = jnp.where(col < valid_len, s, NEG_INF)
 
     m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -70,7 +81,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     p = jnp.exp(s - m_cur[:, None])
     l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
     m_ref[:, 0] = m_cur
-    v = v_ref[0, :, 0, :]
+    v = v_ref[0]
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -80,64 +91,57 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     def _finish():
         l = l_ref[:, 0]
         inv = 1.0 / jnp.maximum(l, 1e-30)
-        o_ref[0, :, 0, :] = (acc_ref[:] * inv[:, None]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] * inv[:, None]).astype(o_ref.dtype)
         lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _fwd(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len):
-    b, lq, h, d = q.shape
+def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
+    bh, lq, d = q.shape
     lk = k.shape[1]
-    grid = (b, h, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
+    grid = (bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
 
     in_specs = [
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0),
+        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if bias is not None:
-        bh = bias.shape[1]  # 1 or h
-        in_specs.append(pl.BlockSpec(
-            (1, 1, blk_q, blk_k),
-            lambda bi, hi, qi, ki, _bh=bh: (bi, hi if _bh > 1 else 0, qi, ki),
-            memory_space=pltpu.VMEM))
+        in_specs.append(_bias_spec(num_heads, bias.shape[1], blk_q, blk_k,
+                                   kv_inner=True))
         args.append(bias)
         kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
-                                   blk_k=blk_k, kv_len=lk,
-                                   valid_len=valid_len)
+                                   blk_k=blk_k, valid_len=valid_len)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, ls, a, m, l, **kw: _fwd_kernel(
                 qr, kr, vr, None, o, ls, a, m, l, **kw),
-            sm_scale=sm_scale, blk_k=blk_k, kv_len=lk, valid_len=valid_len)
+            sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((b, h, lq), jnp.float32),
-    )
-    out_specs = (
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi, ki: (bi, hi, qi),
-                     memory_space=pltpu.VMEM),
-    )
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, d), jnp.float32),
             pltpu.VMEM((blk_q, 1), jnp.float32),
             pltpu.VMEM((blk_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel',
-                                 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(*args)
     return o, lse
 
@@ -146,33 +150,31 @@ def _fwd(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len):
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                     *, sm_scale, blk_q, valid_len):
-    qb = pl.program_id(3)
-    nqb = pl.num_programs(3)
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
 
     @pl.when(qb == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :]
     delta = delta_ref[0, 0, :]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :, :].astype(jnp.float32)
+        s = s + bias_ref[0, 0].astype(jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * blk_q
     s = jnp.where(row < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])                       # [BLK_Q, BLK_K]
-    # dv += p^T @ do
     dv_acc[:] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    # ds = p * (do @ v^T - delta)
     dpv = jax.lax.dot_general(do, v.astype(jnp.float32),
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -183,30 +185,31 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     @pl.when(qb == nqb - 1)
     def _finish():
-        dk_ref[0, :, 0, :] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, :, 0, :] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, dq_acc, *, sm_scale, blk_k, valid_len):
-    kb = pl.program_id(3)
-    nkb = pl.num_programs(3)
+                   delta_ref, dq_ref, dq_acc, *, sm_scale, blk_k,
+                   valid_len):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
 
     @pl.when(kb == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :]
     delta = delta_ref[0, 0, :]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
     if bias_ref is not None:
-        s = s + bias_ref[0, 0, :, :].astype(jnp.float32)
+        s = s + bias_ref[0, 0].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
     s = jnp.where(col < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])
@@ -220,43 +223,29 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     @pl.when(kb == nkb - 1)
     def _finish():
-        dq_ref[0, :, 0, :] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
+def _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
     q, k, v, bias, o, lse = residuals
     do = g
-    b, lq, h, d = q.shape
+    bh, lq, d = q.shape
     lk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                       # [B, L, H]
-    delta = delta.transpose(0, 2, 1)               # [B, H, L]
+                    axis=-1)[:, None, :]               # [BH, 1, L]
 
-    def bias_spec(bh, q_axis_first):
-        if q_axis_first:
-            return pl.BlockSpec(
-                (1, 1, blk_q, blk_k),
-                lambda bi, hi, xi, yi, _bh=bh: (
-                    bi, hi if _bh > 1 else 0, yi, xi),
-                memory_space=pltpu.VMEM)
-        return pl.BlockSpec(
-            (1, 1, blk_q, blk_k),
-            lambda bi, hi, xi, yi, _bh=bh: (
-                bi, hi if _bh > 1 else 0, xi, yi),
-            memory_space=pltpu.VMEM)
-
-    # --- dk, dv: grid (b, h, k_blocks, q_blocks), q innermost
-    in_specs = [
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, ki, qi: (bi, qi, hi, 0),
+    qkv_specs_kq = [  # grid (bh, kblocks, qblocks): q varies innermost
+        pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, ki, qi: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, ki, qi: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if bias is not None:
-        in_specs.append(bias_spec(bias.shape[1], q_axis_first=True))
+        qkv_specs_kq.append(_bias_spec(num_heads, bias.shape[1], blk_q,
+                                       blk_k, kv_inner=False))
         args.append(bias)
         dkv_kernel = functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
                                        blk_q=blk_q, valid_len=valid_len)
@@ -266,25 +255,23 @@ def _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
             _bwd_dkv_kernel(qr, kr, vr, None, dor, lser, dr, dk, dv,
                             dka, dva, **kw),
             sm_scale=sm_scale, blk_q=blk_q, valid_len=valid_len)
-    in_specs += [
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, ki, qi: (bi, qi, hi, 0),
+    qkv_specs_kq += [
+        pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda bi, hi, ki, qi: (bi, hi, qi),
+        pl.BlockSpec((1, 1, blk_q), lambda b, ki, qi: (b, 0, qi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda bi, hi, ki, qi: (bi, hi, qi),
+        pl.BlockSpec((1, 1, blk_q), lambda b, ki, qi: (b, 0, qi),
                      memory_space=pltpu.VMEM),
     ]
     args += [do, lse, delta]
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b, h, _cdiv(lk, blk_k), _cdiv(lq, blk_q)),
-        in_specs=in_specs,
+        grid=(bh, _cdiv(lk, blk_k), _cdiv(lq, blk_q)),
+        in_specs=qkv_specs_kq,
         out_specs=(
-            pl.BlockSpec((1, blk_k, 1, d),
-                         lambda bi, hi, ki, qi: (bi, ki, hi, 0),
+            pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, 1, d),
-                         lambda bi, hi, ki, qi: (bi, ki, hi, 0),
+            pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -292,22 +279,21 @@ def _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
         scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
                         pltpu.VMEM((blk_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel',
-                                 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(*args)
 
-    # --- dq: grid (b, h, q_blocks, k_blocks), k innermost
-    in_specs = [
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0),
+    qkv_specs_qk = [  # grid (bh, qblocks, kblocks): k varies innermost
+        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, 1, d), lambda bi, hi, qi, ki: (bi, ki, hi, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if bias is not None:
-        in_specs.append(bias_spec(bias.shape[1], q_axis_first=False))
+        qkv_specs_qk.append(_bias_spec(num_heads, bias.shape[1], blk_q,
+                                       blk_k, kv_inner=True))
         args.append(bias)
         dq_kernel = functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
                                       blk_k=blk_k, valid_len=valid_len)
@@ -316,27 +302,25 @@ def _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
             lambda qr, kr, vr, dor, lser, dr, dq, dqa, **kw:
             _bwd_dq_kernel(qr, kr, vr, None, dor, lser, dr, dq, dqa, **kw),
             sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len)
-    in_specs += [
-        pl.BlockSpec((1, blk_q, 1, d), lambda bi, hi, qi, ki: (bi, qi, hi, 0),
+    qkv_specs_qk += [
+        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi, ki: (bi, hi, qi),
+        pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi, ki: (bi, hi, qi),
+        pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
                      memory_space=pltpu.VMEM),
     ]
     args += [do, lse, delta]
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b, h, _cdiv(lq, blk_q), _cdiv(lk, blk_k)),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk_q, 1, d),
-                               lambda bi, hi, qi, ki: (bi, qi, hi, 0),
+        grid=(bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k)),
+        in_specs=qkv_specs_qk,
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel',
-                                 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
     )(*args)
 
     dbias = None if bias is None else jnp.zeros_like(bias)
@@ -344,19 +328,20 @@ def _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
 
 
 # ================================================================ wrapper
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len):
-    o, _ = _fwd(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
+    o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len)
     return o
 
 
-def _flash_fwd(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len):
-    o, lse = _fwd(q, k, v, bias, sm_scale, blk_q, blk_k, valid_len)
+def _flash_fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
+    o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
+                  valid_len)
     return o, (q, k, v, bias, o, lse)
 
 
-def _flash_bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g):
-    return _bwd(sm_scale, blk_q, blk_k, valid_len, residuals, g)
+def _flash_bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
+    return _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -371,14 +356,18 @@ def flash_attention(q: Array, k: Array, v: Array,
     Bias is non-differentiable (see module docstring)."""
     b, l, h, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
-    lp = _cdiv(l, max(blk_q, blk_k)) * max(blk_q, blk_k)
-    if lp != l:
-        pad = ((0, 0), (0, lp - l), (0, 0), (0, 0))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        if bias is not None:
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lp - l),
-                                  (0, lp - l)))
-    out = _flash(q, k, v, bias, sm_scale, blk_q, blk_k, l)
-    return out[:, :l]
+    blk = max(blk_q, blk_k)
+    lp = _cdiv(l, blk) * blk
+
+    def to_bh(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+        if lp != l:
+            x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+        return x
+
+    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
+    if bias is not None and lp != l:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lp - l), (0, lp - l)))
+    out = _flash(qf, kf, vf, bias, h, sm_scale, blk_q, blk_k, l)
+    out = out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)
+    return out

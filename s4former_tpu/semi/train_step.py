@@ -222,6 +222,7 @@ def make_semi_train_step(model,
                                 cfg.effective_momentum_head)
 
         has_unsup = 'unsup_teacher_img' in batch and cfg.unsup_weight != 0
+        has_unimatch = cfg.unimatch and 'unsup_teacher_mix_img' in batch
 
         # ---- 2. teacher pseudo-labels (no grad, eval mode; :516-542)
         teacher = None
@@ -251,11 +252,20 @@ def make_semi_train_step(model,
                     teacher.conf_mask, attn_ps,
                     cfg.attn_mask_weight, cfg.adaptive_attn_mask)
 
-            mixed_imgs, mixed_labels, perm = apply_strong_mixes(
-                cfg, r_mix, batch['unsup_student_img'], teacher.hard_label,
-                teacher, batch['sup_img'][:batch['unsup_student_img'].shape[0]],
-                batch['sup_gt'][:batch['unsup_student_img'].shape[0]],
-                num_classes)
+            if has_unimatch:
+                t_mix_logits = jax.lax.stop_gradient(model.apply(
+                    t_vars, method='forward_decode_from_img',
+                    img=batch['unsup_teacher_mix_img'], train=False))
+                teacher_mix = extract_teacher_info(
+                    t_mix_logits, cfg.unsup_confidence,
+                    cfg.unsup_temperature, cfg.unsup_soft)
+            else:
+                mixed_imgs, mixed_labels, perm = apply_strong_mixes(
+                    cfg, r_mix, batch['unsup_student_img'],
+                    teacher.hard_label, teacher,
+                    batch['sup_img'][:batch['unsup_student_img'].shape[0]],
+                    batch['sup_gt'][:batch['unsup_student_img'].shape[0]],
+                    num_classes)
 
         # ---- 3. differentiable student losses
         def loss_fn(params):
@@ -281,7 +291,35 @@ def make_semi_train_step(model,
                 r_drop)
             losses.update(sup_losses)
 
-            if has_unsup:
+            if has_unsup and has_unimatch:
+                # UniMatch dual-stream branch (encoder_decoder.py:689-830)
+                from s4former_tpu.semi.unimatch import unimatch_unsup_losses
+                bs_box = {'bs': bs}
+
+                def apply_decode(img, attn_bias=None, use_fdrop=False,
+                                 patchmix_perm=None, patchmix_n=0):
+                    out, upd = model.apply(
+                        {'params': params, 'batch_stats': bs_box['bs']},
+                        mutable=['batch_stats'],
+                        method='forward_decode_from_img', img=img,
+                        train=True, attn_bias=attn_bias,
+                        pos_mode=cfg.pos_mode, use_fdrop=use_fdrop,
+                        patchmix_perm=patchmix_perm, patchmix_n=patchmix_n,
+                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                    bs_box['bs'] = upd['batch_stats']
+                    return out
+
+                unsup = unimatch_unsup_losses(
+                    cfg, r_mix, batch, teacher, teacher_mix, pasa_bias,
+                    apply_decode, num_classes)
+                bs = bs_box['bs']
+                logs_w = jnp.asarray(cfg.unsup_weight, jnp.float32)
+                if cfg.iter_unsup_start != 0:
+                    logs_w = jnp.where(state.step > cfg.iter_unsup_start,
+                                       logs_w, 0.0)
+                for kk, vv in unsup.items():
+                    losses[f'unsup.{kk}'] = vv * logs_w
+            elif has_unsup:
                 unsup: Dict[str, Array] = {}
                 variables = {'params': params, 'batch_stats': bs}
                 if cfg.attn_mask_seperate_head:

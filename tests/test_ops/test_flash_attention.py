@@ -1,0 +1,75 @@
+"""Flash-attention kernel vs XLA reference (interpret mode on CPU).
+
+On real TPU the same asserts run compiled (tests are cheap to re-run on
+hardware via run_tests.sh with the TPU backend).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from s4former_tpu.ops.attention import dot_product_attention
+
+B, L, H, D = 2, 256, 4, 64
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32) * 0.5
+
+
+@pytest.fixture(scope='module')
+def qkvb():
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = _rand(ks[0], (B, L, H, D))
+    k = _rand(ks[1], (B, L, H, D))
+    v = _rand(ks[2], (B, L, H, D))
+    bias = _rand(ks[3], (B, 1, L, L))
+    return q, k, v, bias
+
+
+def _flash(q, k, v, bias):
+    from s4former_tpu.ops.flash_attention import flash_attention
+    with pltpu.force_tpu_interpret_mode():
+        return flash_attention(q, k, v, bias, blk_q=128, blk_k=128)
+
+
+@pytest.mark.slow
+def test_forward_matches_xla(qkvb):
+    q, k, v, bias = qkvb
+    ref, _ = dot_product_attention(q, k, v, bias)
+    out = _flash(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_forward_no_bias_and_padding(qkvb):
+    q, k, v, _ = qkvb
+    # odd length exercises the in-kernel key masking / padding path
+    q2, k2, v2 = q[:, :130], k[:, :130], v[:, :130]
+    ref, _ = dot_product_attention(q2, k2, v2, None)
+    out = _flash(q2, k2, v2, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_backward_matches_xla(qkvb):
+    q, k, v, bias = qkvb
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash(q, k, v, bias) ** 2)
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, bias)
+        return jnp.sum(out ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f'd{name}')

@@ -1,0 +1,38 @@
+"""Strip a training checkpoint for release (reference:
+tools/publish_model.py — drops optimizer state, appends content hash)."""
+import argparse
+import hashlib
+import os.path as osp
+import shutil
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('in_ckpt', help='orbax checkpoint dir')
+    parser.add_argument('out_ckpt', help='output dir prefix')
+    args = parser.parse_args()
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    state = ckpt.restore(osp.abspath(args.in_ckpt))
+    # keep only inference state
+    slim = {k: state[k] for k in ('params', 'batch_stats') if k in state}
+    tmp = osp.abspath(args.out_ckpt) + '.tmp'
+    ckpt.save(tmp, slim, force=True)
+    ckpt.wait_until_finished()
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(slim):
+        import numpy as np
+        h.update(np.asarray(leaf).tobytes())
+    out = f'{osp.abspath(args.out_ckpt)}-{h.hexdigest()[:8]}'
+    shutil.move(tmp, out)
+    print(f'published {out}')
+
+
+if __name__ == '__main__':
+    main()
