@@ -74,16 +74,24 @@ def main():
         'unsup_student_img': rng.randn(bu, 512, 512, 3).astype(np.float32),
     })
 
+    def sync(st):
+        # On this TPU runtime block_until_ready does not wait for device
+        # execution; a host transfer of a value data-dependent on the
+        # parameter update does.
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    import jax.numpy as jnp
     key = jax.random.PRNGKey(0)
     with mesh:
         for i in range(warmup):
             state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
-        jax.block_until_ready(state.params)
+        sync(state)
         t0 = time.perf_counter()
         for i in range(steps):
             state, logs = step_fn(state, batch,
                                   jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(state.params)
+        sync(state)
         dt = time.perf_counter() - t0
 
     imgs_per_step = bs + bu

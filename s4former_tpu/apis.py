@@ -44,14 +44,19 @@ class Segmentor:
     def predict(self, img: Array) -> Array:
         from s4former_tpu.models.segmentors.inference import inference
         if self._predict is None:
+            model = self.model
+
             @jax.jit
-            def _p(x):
-                probs = inference(self.apply_fn, x, self.num_classes,
-                                  mode=self.mode, crop_size=self.crop_size,
-                                  stride=self.stride)
+            def _p(variables, x):
+                # variables as jit ARGUMENT (closure constants embed the
+                # full weight tensors into the HLO payload)
+                probs = inference(
+                    lambda im: model.apply(variables, im, train=False),
+                    x, self.num_classes, mode=self.mode,
+                    crop_size=self.crop_size, stride=self.stride)
                 return jnp.argmax(probs, axis=-1).astype(jnp.int32)
             self._predict = _p
-        return self._predict(img)
+        return self._predict(self.variables, img)
 
 
 def init_segmentor(config, checkpoint: Optional[str] = None,
@@ -123,6 +128,60 @@ def inference_segmentor_with_attn(segmentor: Segmentor, img):
     seg = np.asarray(jnp.argmax(logits, -1))[0][:h, :w]
     return seg, np.asarray(logits)[:, :h, :w], \
         [np.asarray(a) for a in attns]
+
+
+def inference_with_teacher_pasa(segmentor: Segmentor, img,
+                                ema_variables,
+                                attn_mask_weight: float = 5.0,
+                                patch_size: int = 16) -> np.ndarray:
+    """Test-time PASA (reference encode_decode, encoder_decoder.py:265-296):
+    the EMA teacher's CONTINUOUS max-softmax confidence builds the additive
+    attention bias for the student's forward — used by the
+    distillation/visualization path."""
+    from s4former_tpu.semi.pasa import build_pasa_bias
+    x, (h, w) = _prepare_image(segmentor, img)
+    x = jnp.asarray(x)
+    t_logits = segmentor.model.apply(
+        ema_variables, method='forward_decode_from_img', img=x, train=False)
+    max_prob = jnp.max(jax.nn.softmax(t_logits.astype(jnp.float32), -1), -1)
+    bsz, hh, ww = max_prob.shape
+    unconf = jnp.mean(
+        (1.0 - max_prob).reshape(bsz, hh // patch_size, patch_size,
+                                 ww // patch_size, patch_size),
+        axis=(2, 4)).reshape(bsz, -1)
+    bias = build_pasa_bias(unconf, attn_mask_weight, adaptive=True)
+    logits = segmentor.model.apply(
+        segmentor.variables, method='forward_decode_from_img', img=x,
+        train=False, attn_bias=bias)
+    return np.asarray(jnp.argmax(logits, -1))[0][:h, :w]
+
+
+def inference_segmentor_tta(segmentor: Segmentor, img,
+                            ratios=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+                            flip: bool = True) -> np.ndarray:
+    """Multi-scale + flip TTA (reference aug_test,
+    encoder_decoder.py:1253-1271 + MultiScaleFlipAug): average softmax over
+    rescaled inputs at the original resolution."""
+    from PIL import Image
+    from s4former_tpu.models.segmentors.inference import inference
+    if isinstance(img, str):
+        img = np.asarray(Image.open(img).convert('RGB'))
+    h, w = img.shape[:2]
+    total = None
+    for r in ratios:
+        scaled = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+            (max(1, int(w * r)), max(1, int(h * r))), Image.BILINEAR))
+        x, (sh, sw) = _prepare_image(segmentor, scaled)
+        probs = inference(segmentor.apply_fn, jnp.asarray(x),
+                          segmentor.num_classes, mode=segmentor.mode,
+                          crop_size=segmentor.crop_size,
+                          stride=segmentor.stride, flip=flip)
+        probs = np.asarray(probs)[0][:sh, :sw]
+        from s4former_tpu.ops.resize import resize_bilinear
+        probs = np.asarray(resize_bilinear(
+            jnp.asarray(probs)[None], (h, w), False))[0]
+        total = probs if total is None else total + probs
+    return np.argmax(total, axis=-1).astype(np.int32)
 
 
 def single_device_test(segmentor: Segmentor, dataset,

@@ -134,16 +134,19 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
 
     n_cls = len(dataset.CLASSES)
 
+    @jax.jit
+    def _predict(variables, img):
+        probs = inference(
+            lambda x: model.apply(variables, x, train=False),
+            img, n_cls, mode=mode, crop_size=crop_size, stride=stride)
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
     def eval_fn(state):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
 
-        @jax.jit
         def predict(img):
-            probs = inference(
-                lambda x: model.apply(variables, x, train=False),
-                img, n_cls, mode=mode, crop_size=crop_size, stride=stride)
-            return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return _predict(variables, img)
 
         pre_eval_results = []
         for idx in range(len(dataset)):

@@ -205,6 +205,6 @@ SEMI_FLAG_KEYS = frozenset({
     'attn_mask_w_fdrop',
     'negative_class_ranking', 'negative_class_ranking_mode',
     'use_fdrop', 'unimatch', 'fdrop_loss_weight', 'use_cutmix_adaptive',
-    'use_attn_mask_inline',
+    'use_attn_mask_inline', 'fuse_unsup_passes',
     'backbone_pretrain', 'projection_head',
 })

@@ -65,6 +65,12 @@ class SemiConfig:
     # reference MT baseline trains with NO unsup loss. We gate the inline
     # bias behind this explicit flag and give MT a real pseudo-CE loss.
     use_attn_mask_inline: bool = False
+    # our extension: run the PASA separate-head pass and the final mixed
+    # student pass as ONE concatenated-batch forward (same math per-sample;
+    # BatchNorm moments are computed over the fused 2B batch instead of
+    # per-pass — documented divergence, disable for exact-parity studies).
+    # Halves the unsup compile surface and doubles MXU batch.
+    fuse_unsup_passes: bool = True
     # other methods
     use_fdrop: bool = False
     unimatch: bool = False

@@ -52,6 +52,9 @@ class TrainState:
     momentum: Pytree                     # SGD buffers
     ema_params: Optional[Pytree] = None  # mean teacher
     ema_batch_stats: Optional[Pytree] = None
+    # mask-ratio-annealed EMA momentum (encoder_decoder.py:926-932);
+    # None unless momentum_head_exp/momentum_exp configured
+    annealed_momentum: Optional[Array] = None
 
 
 def create_train_state(variables: Dict, ema: bool = False) -> TrainState:
@@ -65,6 +68,7 @@ def create_train_state(variables: Dict, ema: bool = False) -> TrainState:
         ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
         ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats)
         if ema else None,
+        annealed_momentum=None,
     )
 
 
@@ -211,15 +215,24 @@ def make_semi_train_step(model,
         # ---- 1. EMA update BEFORE forwards (encoder_decoder.py:416-423)
         ema_params = state.ema_params
         ema_bs = state.ema_batch_stats
+        anneal = cfg.momentum_head_exp != 0 or cfg.momentum_exp != 0
         if cfg.ema:
+            m_backbone = cfg.effective_momentum_backbone
+            m_head = cfg.effective_momentum_head
+            if anneal and state.annealed_momentum is not None:
+                # previous step's mask_ratio**exp (reference applies the
+                # annealed momentum on the NEXT step's EMA update,
+                # encoder_decoder.py:926-932)
+                m_head = state.annealed_momentum
+                if cfg.momentum_exp != 0:
+                    m_backbone = state.annealed_momentum
             ema_params = ema_update_partitioned(
                 state.ema_params, state.params,
-                cfg.effective_momentum_backbone,
-                cfg.effective_momentum_head,
+                m_backbone, m_head,
                 dropout_head=cfg.momentum_head_dropout,
                 key=r_ema)
             ema_bs = ema_update(state.ema_batch_stats, state.batch_stats,
-                                cfg.effective_momentum_head)
+                                m_head)
 
         has_unsup = 'unsup_teacher_img' in batch and cfg.unsup_weight != 0
         has_unimatch = cfg.unimatch and 'unsup_teacher_mix_img' in batch
@@ -239,6 +252,10 @@ def make_semi_train_step(model,
                 t_logits, cfg.unsup_confidence, cfg.unsup_temperature,
                 cfg.unsup_soft)
             logs['mask_ratio'] = mask_ratio(teacher.conf_mask)
+            if anneal:
+                exp = cfg.momentum_head_exp or cfg.momentum_exp
+                new_annealed = logs['mask_ratio'] ** exp
+                logs['momentum_head'] = new_annealed
 
             if cfg.attn_mask_seperate_head or cfg.use_attn_mask_inline:
                 # separate-head PASA (":547-567") or inline PASA (":656-675").
@@ -319,6 +336,58 @@ def make_semi_train_step(model,
                                        logs_w, 0.0)
                 for kk, vv in unsup.items():
                     losses[f'unsup.{kk}'] = vv * logs_w
+            elif has_unsup and cfg.fuse_unsup_passes and \
+                    cfg.attn_mask_seperate_head and not cfg.use_fdrop and \
+                    not cfg.attn_mask_w_fdrop:
+                # FUSED unsup branch: PASA pass (unmixed strong images +
+                # bias) and the final pass (mixed images, PatchShuffle
+                # undo) run as one 2B-batch forward. Per-sample math
+                # matches the sequential reference passes
+                # (encoder_decoder.py:547-567 + :650-679); only BN moments
+                # span the fused batch (see SemiConfig.fuse_unsup_passes).
+                unsup: Dict[str, Array] = {}
+                bu = batch['unsup_student_img'].shape[0]
+                t = pasa_bias.shape[-1]
+                bias2 = jnp.concatenate(
+                    [pasa_bias, jnp.zeros((bu,) + pasa_bias.shape[1:],
+                                          pasa_bias.dtype)], axis=0)
+                imgs2 = jnp.concatenate(
+                    [batch['unsup_student_img'], mixed_imgs], axis=0)
+                if perm is not None:
+                    gg = perm.shape[-1]
+                    identity = jnp.broadcast_to(jnp.arange(gg), (bu, gg)
+                                                ).astype(perm.dtype)
+                    perm2 = jnp.concatenate([identity, perm], axis=0)
+                    n2 = cfg.PatchMix_N
+                else:
+                    perm2, n2 = None, 0
+                logits2, upd = model.apply(
+                    {'params': params, 'batch_stats': bs},
+                    mutable=['batch_stats'],
+                    method='forward_decode_from_img', img=imgs2,
+                    train=True, attn_bias=bias2, pos_mode=cfg.pos_mode,
+                    patchmix_perm=perm2, patchmix_n=n2,
+                    rngs={'dropout': r_drop})
+                bs = upd['batch_stats']
+                pasa_logits = logits2[:bu]
+                stu_logits = logits2[bu:]
+                unsup['loss_seg_unsup_attn_mask'] = 0.5 * pseudo_ce_loss(
+                    pasa_logits, teacher.hard_label)
+                main_pseudo = (soft_pseudo_ce_loss(stu_logits,
+                                                   teacher.soft_label)
+                               if cfg.unsup_soft else
+                               pseudo_ce_loss(stu_logits, mixed_labels))
+                unsup['loss_seg_unsup'] = main_pseudo * cfg.fdrop_loss_weight
+                if cfg.negative_class_ranking and \
+                        cfg.negative_class_ranking_mode != 'sup_only':
+                    unsup['loss_ncr_unsup'] = 0.5 * ncr_loss(
+                        stu_logits, teacher.seg_logits, mixed_labels,
+                        num_classes, cfg.negative_class_ranking_mode)
+                w = jnp.asarray(cfg.unsup_weight, jnp.float32)
+                if cfg.iter_unsup_start != 0:
+                    w = jnp.where(state.step > cfg.iter_unsup_start, w, 0.0)
+                for k, v in unsup.items():
+                    losses[f'unsup.{k}'] = v * w
             elif has_unsup:
                 unsup: Dict[str, Array] = {}
                 variables = {'params': params, 'batch_stats': bs}
@@ -414,6 +483,9 @@ def make_semi_train_step(model,
             momentum=new_momentum,
             ema_params=ema_params,
             ema_batch_stats=ema_bs,
+            annealed_momentum=(new_annealed if (cfg.ema and anneal and
+                                                has_unsup)
+                               else state.annealed_momentum),
         )
         return new_state, logs
 

@@ -75,11 +75,14 @@ def main():
         'stride', (341, 341)))
 
     @jax.jit
-    def predict(img):
+    def _predict(vs, img):
         probs = inference(
-            lambda x: model.apply(variables, x, train=False),
+            lambda x: model.apply(vs, x, train=False),
             img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    def predict(img):
+        return _predict(variables, img)
 
     pre_eval_results = []
     for idx in range(len(dataset)):
