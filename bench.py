@@ -44,6 +44,8 @@ def main():
     flagship = copy.deepcopy(FLAGSHIP)
     dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
     flagship['backbone']['dtype'] = dtype
+    flagship['backbone']['remat_layers'] = \
+        os.environ.get('BENCH_REMAT', '1') == '1'
     flagship['decode_head']['dtype'] = dtype
     for aux in flagship['auxiliary_head']:
         aux['dtype'] = dtype

@@ -34,7 +34,9 @@ class Segmentor:
         test_cfg = (cfg.get('model', {}).get('test_cfg') or {}) \
             if cfg is not None else {}
         self.mode = test_cfg.get('mode', 'whole')
-        self.crop_size = tuple(test_cfg.get('crop_size', (512, 512)))
+        default_crop = tuple(cfg.get('crop_size', (512, 512))) \
+            if cfg is not None else (512, 512)
+        self.crop_size = tuple(test_cfg.get('crop_size', default_crop))
         self.stride = tuple(test_cfg.get('stride', (341, 341)))
         self._predict = None
 
@@ -125,6 +127,9 @@ def inference_segmentor_with_attn(segmentor: Segmentor, img):
         img=jnp.asarray(x), return_attn=True)
     logits = segmentor.model.apply(
         segmentor.variables, method='decode_logits', feats=feats)
+    if logits.shape[1:3] != x.shape[1:3]:
+        from s4former_tpu.ops.resize import resize_bilinear
+        logits = resize_bilinear(logits, x.shape[1:3], False)
     seg = np.asarray(jnp.argmax(logits, -1))[0][:h, :w]
     return seg, np.asarray(logits)[:, :h, :w], \
         [np.asarray(a) for a in attns]
@@ -145,14 +150,21 @@ def inference_with_teacher_pasa(segmentor: Segmentor, img,
         ema_variables, method='forward_decode_from_img', img=x, train=False)
     max_prob = jnp.max(jax.nn.softmax(t_logits.astype(jnp.float32), -1), -1)
     bsz, hh, ww = max_prob.shape
+    # pool the confidence map to the backbone token grid (head output may
+    # differ from input resolution)
+    grid_h = x.shape[1] // patch_size
+    pool = max(hh // grid_h, 1)
     unconf = jnp.mean(
-        (1.0 - max_prob).reshape(bsz, hh // patch_size, patch_size,
-                                 ww // patch_size, patch_size),
+        (1.0 - max_prob).reshape(bsz, hh // pool, pool,
+                                 ww // pool, pool),
         axis=(2, 4)).reshape(bsz, -1)
     bias = build_pasa_bias(unconf, attn_mask_weight, adaptive=True)
     logits = segmentor.model.apply(
         segmentor.variables, method='forward_decode_from_img', img=x,
         train=False, attn_bias=bias)
+    if logits.shape[1:3] != x.shape[1:3]:
+        from s4former_tpu.ops.resize import resize_bilinear
+        logits = resize_bilinear(logits, x.shape[1:3], False)
     return np.asarray(jnp.argmax(logits, -1))[0][:h, :w]
 
 

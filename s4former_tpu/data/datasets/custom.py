@@ -252,3 +252,60 @@ class SemiDataset:
 
 def build_dataset(cfg: dict):
     return DATASETS.build(dict(cfg))
+
+
+@DATASETS.register_module()
+class COCOStuffDataset(CustomDataset):
+    """(coco_stuff.py): 171 classes."""
+    CLASSES = tuple(f'class_{i}' for i in range(171))
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '_labelTrainIds.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class LoveDADataset(CustomDataset):
+    """(loveda.py): 7 classes, reduce_zero_label."""
+    CLASSES = ('background', 'building', 'road', 'water', 'barren',
+               'forest', 'agricultural')
+    PALETTE = [[255, 255, 255], [255, 0, 0], [255, 255, 0], [0, 0, 255],
+               [159, 129, 183], [0, 255, 0], [255, 195, 128]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.png')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class PotsdamDataset(CustomDataset):
+    """(potsdam.py): ISPRS Potsdam, 6 classes."""
+    CLASSES = ('impervious_surface', 'building', 'low_vegetation', 'tree',
+               'car', 'clutter')
+    PALETTE = [[255, 255, 255], [0, 0, 255], [0, 255, 255], [0, 255, 0],
+               [255, 255, 0], [255, 0, 0]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.png')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class UniSemiDataset(SemiDataset):
+    """(dataset_wrappers.py:308): 3-way semi wrapper — an extra unlabeled
+    source (e.g. a mix-stream for UniMatch)."""
+
+    def __init__(self, sup: dict, unsup: dict, unsup2: Optional[dict] = None,
+                 **kwargs):
+        super().__init__(sup, unsup, **kwargs)
+        self.unsup2 = DATASETS.build(dict(unsup2)) if unsup2 else None
+
+    def __len__(self):
+        n = super().__len__()
+        return n + (len(self.unsup2) if self.unsup2 else 0)

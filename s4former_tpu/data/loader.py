@@ -117,11 +117,14 @@ class SemiLoader:
         return batch
 
     def _producer(self):
-        for sup_idx, unsup_idx in self.sampler:
-            if self._stop.is_set():
-                return
-            self._queue.put(self._make_batch(sup_idx, unsup_idx))
-        self._queue.put(None)
+        try:
+            for sup_idx, unsup_idx in self.sampler:
+                if self._stop.is_set():
+                    return
+                self._queue.put(self._make_batch(sup_idx, unsup_idx))
+            self._queue.put(None)
+        except BaseException as e:  # surface worker errors to the consumer
+            self._queue.put(e)
 
     def __iter__(self):
         if self._thread is None:
@@ -132,6 +135,8 @@ class SemiLoader:
             batch = self._queue.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
 
     def close(self):

@@ -247,10 +247,10 @@ def _rgb_to_hsv_cv(img: np.ndarray) -> np.ndarray:
     h[gm] = (60 * (b - r) / np.where(diff == 0, 1, diff) + 120)[gm]
     h[bm] = (60 * (r - g) / np.where(diff == 0, 1, diff) + 240)[bm]
     s = np.where(mx > 0, diff / np.where(mx == 0, 1, mx), 0)
-    out = np.stack([h / 2.0, s * 255.0, mx * 255.0], axis=-1)
-    return np.round(out).astype(np.uint8) % np.array([180, 256, 256],
-                                                     np.uint16).astype(
-                                                         np.uint8)
+    hh = np.round(h / 2.0).astype(np.int32) % 180
+    ss = np.clip(np.round(s * 255.0), 0, 255).astype(np.int32)
+    vv = np.clip(np.round(mx * 255.0), 0, 255).astype(np.int32)
+    return np.stack([hh, ss, vv], axis=-1).astype(np.uint8)
 
 
 def _hsv_to_rgb_cv(img: np.ndarray) -> np.ndarray:
@@ -261,7 +261,7 @@ def _hsv_to_rgb_cv(img: np.ndarray) -> np.ndarray:
     hp = h / 60.0
     x = c * (1 - np.abs(hp % 2 - 1))
     z = np.zeros_like(c)
-    idx = np.floor(hp).astype(np.int32) % 6
+    idx = (np.floor(hp).astype(np.int32) % 6)[..., None]
     rgb = np.select(
         [idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
         [np.stack([c, x, z], -1), np.stack([x, c, z], -1),

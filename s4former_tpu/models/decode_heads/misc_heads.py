@@ -175,3 +175,62 @@ class PSPHead(nn.Module):
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
                          dtype=jnp.float32)(x)
         return (logits, feat) if return_last_feat else logits
+
+
+@HEADS.register_module()
+class UPerHead(nn.Module):
+    """(uper_head.py): PSP on the deepest level + FPN top-down fusion."""
+    in_channels: Sequence[int] = (96, 192, 384, 768)
+    channels: int = 512
+    num_classes: int = 150
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    in_index: Sequence[int] = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
+    dropout_ratio: float = 0.1
+    align_corners: bool = False
+    loss_decode: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[Union[dict, list]] = None
+    sampler: Optional[dict] = None
+    ignore_index: int = 255
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        feats = [inputs[i] for i in self.in_index]
+        # PSP bottleneck on the deepest feature
+        x = feats[-1]
+        h, w = x.shape[1:3]
+        branches = [x]
+        for i, s in enumerate(self.pool_scales):
+            ph, pw = max(h // s, 1), max(w // s, 1)
+            pooled = jnp.mean(
+                x[:, :s * ph, :s * pw].reshape(
+                    x.shape[0], s, ph, s, pw, x.shape[-1]), axis=(2, 4))
+            y = ConvBNReLU(self.channels, 1, name=f'psp_{i}')(pooled, train)
+            branches.append(resize_bilinear(y, (h, w), self.align_corners))
+        psp = ConvBNReLU(self.channels, 3, name='psp_bottleneck')(
+            jnp.concatenate(branches, -1), train)
+        # FPN top-down
+        laterals = [ConvBNReLU(self.channels, 1, name=f'lateral_{i}')(
+            f, train) for i, f in enumerate(feats[:-1])] + [psp]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = resize_bilinear(laterals[i], laterals[i - 1].shape[1:3],
+                                 self.align_corners)
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [ConvBNReLU(self.channels, 3, name=f'fpn_{i}')(
+            laterals[i], train) for i in range(len(laterals) - 1)] + \
+            [laterals[-1]]
+        target_hw = outs[0].shape[1:3]
+        outs = [o if o.shape[1:3] == target_hw else
+                resize_bilinear(o, target_hw, self.align_corners)
+                for o in outs]
+        x = ConvBNReLU(self.channels, 3, name='fpn_bottleneck')(
+            jnp.concatenate(outs, -1), train)
+        feat = x
+        if self.dropout_ratio > 0:
+            x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
+        logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
+                         dtype=jnp.float32)(x)
+        return (logits, feat) if return_last_feat else logits

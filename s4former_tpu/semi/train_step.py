@@ -292,8 +292,7 @@ def make_semi_train_step(model,
 
             sup_img, sup_gt = batch['sup_img'], batch['sup_gt']
             if cfg.sup_cutmix or cfg.sup_ClassMix:
-                kk = jax.random.split(r_mix, 2)[1]
-                kg, kf = jax.random.split(kk)
+                kg, kf = jax.random.split(r_sup)
                 if cfg.sup_cutmix:
                     gate = jax.random.bernoulli(kg, cfg.strong_aug_prob)
                     mi, ml = mixes.sup_cutmix(kf, sup_img, sup_gt)
@@ -347,7 +346,6 @@ def make_semi_train_step(model,
                 # span the fused batch (see SemiConfig.fuse_unsup_passes).
                 unsup: Dict[str, Array] = {}
                 bu = batch['unsup_student_img'].shape[0]
-                t = pasa_bias.shape[-1]
                 bias2 = jnp.concatenate(
                     [pasa_bias, jnp.zeros((bu,) + pasa_bias.shape[1:],
                                           pasa_bias.dtype)], axis=0)
