@@ -1,0 +1,103 @@
+"""Decode-head and neck shape tests (mirrors reference
+tests/test_models/test_heads/*)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import s4former_tpu.models  # noqa: F401
+from s4former_tpu.registry import HEADS, NECKS
+
+
+def _feats(shapes, seed=0):
+    rng = np.random.RandomState(seed)
+    return [jnp.asarray(rng.randn(*s), jnp.float32) for s in shapes]
+
+
+def _run_head(cfg, feats, **kwargs):
+    head = HEADS.build(cfg)
+    variables = head.init({'params': jax.random.PRNGKey(0)}, feats,
+                          train=False)
+    return head.apply(variables, feats, train=False, **kwargs)
+
+
+def test_setr_up_head():
+    out = _run_head(dict(type='SETRUPHead', in_channels=32, channels=16,
+                         num_classes=7, in_index=0, num_convs=2,
+                         up_scale=2), _feats([(2, 4, 4, 32)]))
+    assert out.shape == (2, 16, 16, 7)
+
+
+def test_segformer_head():
+    shapes = [(2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 40), (2, 2, 2, 64)]
+    out = _run_head(dict(type='SegformerHead', in_channels=[8, 16, 40, 64],
+                         channels=32, num_classes=19,
+                         in_index=[0, 1, 2, 3]), _feats(shapes))
+    assert out.shape == (2, 16, 16, 19)
+
+
+def test_fcn_head():
+    out = _run_head(dict(type='FCNHead', in_channels=32, channels=16,
+                         num_classes=5, in_index=0, num_convs=2),
+                    _feats([(2, 8, 8, 32)]))
+    assert out.shape == (2, 8, 8, 5)
+
+
+def test_psp_head():
+    out = _run_head(dict(type='PSPHead', in_channels=32, channels=16,
+                         num_classes=5, in_index=0,
+                         pool_scales=(1, 2)), _feats([(2, 8, 8, 32)]))
+    assert out.shape == (2, 8, 8, 5)
+
+
+def test_uper_head():
+    shapes = [(2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 32)]
+    out = _run_head(dict(type='UPerHead', in_channels=[8, 16, 32],
+                         channels=16, num_classes=5, in_index=[0, 1, 2],
+                         pool_scales=(1, 2)), _feats(shapes))
+    assert out.shape == (2, 16, 16, 5)
+
+
+def test_setr_mla_head():
+    shapes = [(2, 4, 4, 16)] * 4
+    out = _run_head(dict(type='SETRMLAHead', in_channels=[16] * 4,
+                         channels=32, mla_channels=8, num_classes=5,
+                         up_scale=4, in_index=[0, 1, 2, 3]), _feats(shapes))
+    assert out.shape == (2, 16, 16, 5)
+
+
+def test_setr_up_head_unshuffles():
+    """Head-level feature un-shuffle: identity perm == no perm."""
+    feats = _feats([(2, 4, 4, 32)])
+    head = HEADS.build(dict(type='SETRUPHead', in_channels=32, channels=16,
+                            num_classes=7, in_index=0, num_convs=1,
+                            up_scale=2))
+    variables = head.init({'params': jax.random.PRNGKey(0)}, feats,
+                          train=False)
+    base = head.apply(variables, feats, train=False)
+    identity = jnp.tile(jnp.arange(4), (2, 1))
+    same = head.apply(variables, feats, train=False,
+                      patchmix_perm=identity, patchmix_n=2)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('neck_cfg,shapes,expect_hw', [
+    (dict(type='MLANeck', in_channels=[16] * 4, out_channels=8),
+     [(2, 4, 4, 16)] * 4, (4, 4)),
+    (dict(type='MultiLevelNeck', in_channels=[16] * 4, out_channels=8,
+          scales=[0.5, 1, 2, 4]), [(2, 4, 4, 16)] * 4, (2, 2)),
+    (dict(type='Feature2Pyramid', embed_dim=16, rescales=[4, 2, 1, 0.5]),
+     [(2, 4, 4, 16)] * 4, (16, 16)),
+    (dict(type='FPN', in_channels=[8, 16, 32, 64], out_channels=8),
+     [(2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 32), (2, 2, 2, 64)],
+     (16, 16)),
+])
+def test_necks(neck_cfg, shapes, expect_hw):
+    neck = NECKS.build(neck_cfg)
+    feats = _feats(shapes)
+    variables = neck.init({'params': jax.random.PRNGKey(0)}, feats,
+                          train=False)
+    outs = neck.apply(variables, feats, train=False)
+    assert len(outs) == len(shapes)
+    assert outs[0].shape[1:3] == expect_hw
