@@ -84,11 +84,7 @@ def init_segmentor(config, checkpoint: Optional[str] = None,
                           crop[1] // bb.get('patch_size', 16)))
             variables = ckpt_lib.merge_pretrained(variables, pre)
         else:
-            from s4former_tpu.semi.train_step import create_train_state
-            state = ckpt_lib.load_checkpoint(
-                checkpoint, create_train_state(variables, ema=False))
-            variables = {'params': state.params,
-                         'batch_stats': state.batch_stats}
+            variables = ckpt_lib.load_inference_variables(checkpoint)
     return Segmentor(model, variables, config)
 
 

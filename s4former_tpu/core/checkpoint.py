@@ -67,10 +67,22 @@ def find_latest_checkpoint(work_dir: str) -> Optional[str]:
     return ckpts[-1][0] if ckpts else None
 
 
-def load_checkpoint(path: str, target_state: Pytree) -> Pytree:
+def load_checkpoint(path: str, target_state: Optional[Pytree] = None
+                    ) -> Pytree:
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
+    if target_state is None:
+        # raw restore (dict of arrays) — lets callers load inference
+        # variables from a checkpoint whose TrainState layout differs
+        # (e.g. with/without EMA trees)
+        return ckpt.restore(osp.abspath(path))
     return ckpt.restore(osp.abspath(path), target=target_state)
+
+
+def load_inference_variables(path: str) -> Dict:
+    raw = load_checkpoint(path)
+    return {'params': raw['params'],
+            'batch_stats': raw.get('batch_stats', {})}
 
 
 # ------------------------------------------------------------- torch -> jax

@@ -61,11 +61,7 @@ def main():
                           crop[1] // bb.get('patch_size', 16)))
             variables = ckpt_lib.merge_pretrained(variables, pre)
         else:
-            from s4former_tpu.semi.train_step import create_train_state
-            state = create_train_state(variables, ema=False)
-            state = ckpt_lib.load_checkpoint(args.checkpoint, state)
-            variables = {'params': state.params,
-                         'batch_stats': state.batch_stats}
+            variables = ckpt_lib.load_inference_variables(args.checkpoint)
         logger.info(f'loaded {args.checkpoint}')
 
     dataset = build_dataset(cfg.data['test'])
