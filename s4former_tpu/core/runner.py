@@ -85,11 +85,19 @@ class IterBasedRunner:
                     self.logger.info(
                         f'Iter [{it}/{self.max_iters}] '
                         f'{self.log_interval / dt:.2f} it/s, {msg}')
+                    if float(logs.get('mask_ratio', 1.0)) == 0.0 and \
+                            it <= 5 * self.log_interval:
+                        self.logger.info(
+                            'note: mask_ratio=0 — no teacher pixel above '
+                            'the confidence threshold yet, so unsup losses '
+                            'are 0; expected early in training / from '
+                            'random init')
                 if self.eval_fn is not None and it % self.eval_interval == 0:
                     self._evaluate(it)
                 if it % self.checkpoint_interval == 0:
                     self._checkpoint(it)
-        self._checkpoint(it)
+        if it % self.checkpoint_interval != 0:  # avoid double final save
+            self._checkpoint(it)
         return self.state
 
     def _evaluate(self, it: int):

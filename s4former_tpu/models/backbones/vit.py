@@ -112,8 +112,10 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x: Array, attn_bias: Optional[Array] = None,
                  deterministic: bool = True,
                  return_attn: bool = False) -> Tuple[Array, Optional[Array]]:
+        # LN statistics are computed in f32 by flax internally; output in
+        # the compute dtype keeps the token stream bf16-resident
         y = nn.LayerNorm(epsilon=self.norm_eps, name='ln1',
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x)
         y, probs = MultiheadSelfAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, attn_drop_rate=self.attn_drop_rate,
@@ -127,7 +129,7 @@ class TransformerEncoderLayer(nn.Module):
             y = jnp.where(mask, y / keep, 0.0)
         x = x + y
         z = nn.LayerNorm(epsilon=self.norm_eps, name='ln2',
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x)
         z = FFN(embed_dims=self.embed_dims,
                 feedforward_channels=self.feedforward_channels,
                 drop_rate=self.drop_rate, dtype=self.dtype, name='ffn')(
@@ -349,7 +351,7 @@ class VisionTransformer(nn.Module):
             if i == self.num_layers - 1 and self.final_norm:
                 layer_out = nn.LayerNorm(epsilon=self.norm_eps,
                                          name='ln_final',
-                                         dtype=jnp.float32)(layer_out)
+                                         dtype=self.dtype)(layer_out)
             feat_tokens = layer_out[:, 1:] if self.with_cls_token \
                 else layer_out
             out = feat_tokens.reshape(b, hw[0], hw[1], self.embed_dims)

@@ -80,8 +80,8 @@ class FCNHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(x).astype(jnp.float32)
         return (logits, feat) if return_last_feat else logits
 
 
@@ -124,8 +124,8 @@ class SETRMLAHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(x).astype(jnp.float32)
         return (logits, feat) if return_last_feat else logits
 
 
@@ -172,8 +172,8 @@ class PSPHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(x).astype(jnp.float32)
         return (logits, feat) if return_last_feat else logits
 
 
@@ -231,6 +231,6 @@ class UPerHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(x).astype(jnp.float32)
         return (logits, feat) if return_last_feat else logits

@@ -80,13 +80,16 @@ class SegformerHead(nn.Module):
                     name='fusion_conv', dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='fusion_bn',
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
+        # classifier runs in the model compute dtype (a f32 conv here
+        # would upcast the full [B,H,W,C] feature map); logits cast to f32
+        # for the loss/softmax
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x).astype(jnp.float32)
         if return_last_feat:
             return logits, feat
         return logits

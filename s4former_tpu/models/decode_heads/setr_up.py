@@ -37,8 +37,11 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.out_channels, (k, k), padding=(k - 1) // 2,
                     use_bias=False, name='conv', dtype=self.dtype)(x)
         # torch BN momentum 0.1 == flax momentum 0.9
+        # flax BatchNorm computes batch statistics in f32 internally;
+        # dtype only sets the OUTPUT dtype — keep the activation stream in
+        # the compute dtype instead of upcasting [B,H,W,C] maps
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn', dtype=jnp.float32)(x)
+                         epsilon=1e-5, name='bn', dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -83,7 +86,7 @@ class SETRUPHead(nn.Module):
         if patchmix_perm is not None and patchmix_n:
             tokens = unshuffle_tokens(tokens, patchmix_perm, patchmix_n)
         tokens = nn.LayerNorm(epsilon=self.norm_eps, name='norm',
-                              dtype=jnp.float32)(tokens)
+                              dtype=self.dtype)(tokens)
         x = tokens.reshape(b, h, w, c).astype(self.dtype)
 
         for i in range(self.num_convs):
@@ -99,8 +102,11 @@ class SETRUPHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
+        # classifier runs in the model compute dtype (a f32 conv here
+        # would upcast the full [B,H,W,C] feature map); logits cast to f32
+        # for the loss/softmax
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=jnp.float32)(x)
+                         dtype=self.dtype)(x).astype(jnp.float32)
         if return_last_feat:
             return logits, feat
         return logits

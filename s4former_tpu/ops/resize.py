@@ -62,6 +62,32 @@ def _linear_weights(in_size: int, out_size: int, align_corners: bool,
     return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w, dtype)
 
 
+def _upsample_int_axis(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """Exact half-pixel (align_corners=False) bilinear upsampling by an
+    INTEGER factor along one axis — pad + elementwise + interleave, no
+    gathers. For out index s*j+k: src = j + (k+0.5)/s - 0.5, so each of
+    the s phases is a fixed 2-tap filter; hugely faster than the gather
+    path on TPU (the decode heads upsample at 256^2-512^2 resolutions).
+    """
+    x = jnp.moveaxis(x, axis, 1)  # [N, H, ...]
+    n, h = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    # edge-replicate pad by one on both sides
+    xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)  # [N, H+2, ...]
+    import math
+    phases = []
+    for k in range(s):
+        src = (k + 0.5) / s - 0.5
+        o = math.floor(src)
+        f = src - o
+        lo = xp[:, 1 + o:1 + o + h]
+        hi = xp[:, 2 + o:2 + o + h]
+        phases.append(lo * (1.0 - f) + hi * f)
+    out = jnp.stack(phases, axis=2)          # [N, H, s, ...]
+    out = out.reshape((n, h * s) + rest)
+    return jnp.moveaxis(out, 1, axis)
+
+
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
                     align_corners: bool = False) -> jax.Array:
     """Bilinear resize of NHWC (or HWC) array, torch-parity."""
@@ -72,6 +98,21 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x[0] if squeeze else x
+    # integer-scale upsampling fast path (exact same result as the gather
+    # path; covers the SETR-PUP/aux-head 2x/4x chains)
+    if (not align_corners and oh % h == 0 and ow % w == 0 and
+            oh > h and ow > w):
+        orig_dtype = x.dtype
+        out = x.astype(jnp.float32) if not jnp.issubdtype(
+            x.dtype, jnp.floating) else x
+        if oh // h > 1:
+            out = _upsample_int_axis(out, oh // h, axis=1)
+        if ow // w > 1:
+            out = _upsample_int_axis(out, ow // w, axis=2)
+        if out.dtype != orig_dtype and jnp.issubdtype(orig_dtype,
+                                                      jnp.floating):
+            out = out.astype(orig_dtype)
+        return out[0] if squeeze else out
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     ylo, yhi, wy = _linear_weights(h, oh, align_corners)
