@@ -37,18 +37,17 @@ def _output_size(in_hw: Tuple[int, int],
     return (int(in_hw[0] * scale_factor[0]), int(in_hw[1] * scale_factor[1]))
 
 
-def _linear_weights(in_size: int, out_size: int, align_corners: bool,
-                    dtype=jnp.float32):
-    """Return (lo_idx, hi_idx, hi_weight) arrays of length out_size.
+def _linear_weights(in_size: int, out_size: int, align_corners: bool):
+    """Return NUMPY (lo_idx, hi_idx, hi_weight) arrays of length out_size.
 
-    Shapes are static under jit, so the coordinate math runs host-side in
-    float64 (matching torch's internal precision) and constant-folds into
-    the compiled program.
+    Pure host-side float64 coordinate math (matching torch's internal
+    precision). Numpy so results stay concrete constants even when called
+    during a jit trace.
     """
     import numpy as np
     if out_size == in_size:
-        idx = jnp.arange(out_size)
-        return idx, idx, jnp.zeros((out_size,), dtype)
+        idx = np.arange(out_size, dtype=np.int32)
+        return idx, idx, np.zeros((out_size,), np.float32)
     if align_corners and out_size > 1:
         src = np.arange(out_size, dtype=np.float64) * \
             (in_size - 1) / (out_size - 1)
@@ -59,38 +58,32 @@ def _linear_weights(in_size: int, out_size: int, align_corners: bool,
     lo = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
     hi = np.clip(lo + 1, 0, in_size - 1)
     w = (src - lo).astype(np.float32)
-    return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w, dtype)
+    return lo, hi, w
 
 
-def _upsample_int_axis(x: jax.Array, s: int, axis: int) -> jax.Array:
-    """Exact half-pixel (align_corners=False) bilinear upsampling by an
-    INTEGER factor along one axis — pad + elementwise + interleave, no
-    gathers. For out index s*j+k: src = j + (k+0.5)/s - 0.5, so each of
-    the s phases is a fixed 2-tap filter; hugely faster than the gather
-    path on TPU (the decode heads upsample at 256^2-512^2 resolutions).
-    """
-    x = jnp.moveaxis(x, axis, 1)  # [N, H, ...]
-    n, h = x.shape[0], x.shape[1]
-    rest = x.shape[2:]
-    # edge-replicate pad by one on both sides
-    xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)  # [N, H+2, ...]
-    import math
-    phases = []
-    for k in range(s):
-        src = (k + 0.5) / s - 0.5
-        o = math.floor(src)
-        f = src - o
-        lo = xp[:, 1 + o:1 + o + h]
-        hi = xp[:, 2 + o:2 + o + h]
-        phases.append(lo * (1.0 - f) + hi * f)
-    out = jnp.stack(phases, axis=2)          # [N, H, s, ...]
-    out = out.reshape((n, h * s) + rest)
-    return jnp.moveaxis(out, 1, axis)
+def _interp_matrix(in_size: int, out_size: int,
+                   align_corners: bool) -> jax.Array:
+    """[out_size, in_size] sparse-as-dense 2-tap interpolation matrix
+    (host-built from the float64 coordinates, constant-folded)."""
+    import numpy as np
+    lo, hi, w = _linear_weights(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)
+    np.add.at(m, (rows, hi), w)
+    return jnp.asarray(m)
 
 
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
                     align_corners: bool = False) -> jax.Array:
-    """Bilinear resize of NHWC (or HWC) array, torch-parity."""
+    """Bilinear resize of NHWC (or HWC) array, torch-parity.
+
+    TPU-native formulation: separable interpolation as two MXU matmuls
+    with constant 2-tap matrices. Gathers and lane-interleaves are slow on
+    the TPU's tiled layout (measured 68 GB/s); the matmul form runs at
+    MXU speed and XLA fuses the surrounding elementwise ops. Exact:
+    each output row has exactly the two bilinear taps.
+    """
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -98,42 +91,30 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x[0] if squeeze else x
-    # integer-scale upsampling fast path (exact same result as the gather
-    # path; covers the SETR-PUP/aux-head 2x/4x chains)
-    if (not align_corners and oh % h == 0 and ow % w == 0 and
-            oh > h and ow > w):
-        orig_dtype = x.dtype
-        out = x.astype(jnp.float32) if not jnp.issubdtype(
-            x.dtype, jnp.floating) else x
-        if oh // h > 1:
-            out = _upsample_int_axis(out, oh // h, axis=1)
-        if ow // w > 1:
-            out = _upsample_int_axis(out, ow // w, axis=2)
-        if out.dtype != orig_dtype and jnp.issubdtype(orig_dtype,
-                                                      jnp.floating):
-            out = out.astype(orig_dtype)
-        return out[0] if squeeze else out
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    ylo, yhi, wy = _linear_weights(h, oh, align_corners)
-    xlo, xhi, wx = _linear_weights(w, ow, align_corners)
-    top = jnp.take(xf, ylo, axis=1)
-    bot = jnp.take(xf, yhi, axis=1)
-    rows = top + wy[None, :, None, None] * (bot - top)
-    left = jnp.take(rows, xlo, axis=2)
-    right = jnp.take(rows, xhi, axis=2)
-    out = left + wx[None, None, :, None] * (right - left)
-    out = out.astype(orig_dtype) if jnp.issubdtype(orig_dtype, jnp.floating) \
-        else out
+    compute_dtype = orig_dtype if jnp.issubdtype(orig_dtype, jnp.floating) \
+        else jnp.float32
+    xf = x.astype(compute_dtype)
+    if oh != h:
+        m_h = _interp_matrix(h, oh, align_corners).astype(compute_dtype)
+        xf = jnp.einsum('oh,nhwc->nowc', m_h, xf,
+                        preferred_element_type=compute_dtype)
+    if ow != w:
+        m_w = _interp_matrix(w, ow, align_corners).astype(compute_dtype)
+        xf = jnp.einsum('pw,nhwc->nhpc', m_w, xf,
+                        preferred_element_type=compute_dtype)
+    out = xf.astype(orig_dtype) if jnp.issubdtype(orig_dtype,
+                                                  jnp.floating) else xf
     return out[0] if squeeze else out
 
 
-def _nearest_indices(in_size: int, out_size: int) -> jax.Array:
-    # torch legacy nearest: src = floor(dst * in/out); float64 on host
+def _nearest_indices(in_size: int, out_size: int):
+    # torch legacy nearest: src = floor(dst * in/out); float64 on host.
+    # numpy out (concrete even under trace); jnp.take accepts it.
     import numpy as np
     idx = np.floor(np.arange(out_size, dtype=np.float64) *
                    (in_size / out_size)).astype(np.int32)
-    return jnp.asarray(np.clip(idx, 0, in_size - 1))
+    return np.clip(idx, 0, in_size - 1)
 
 
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
