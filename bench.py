@@ -64,7 +64,8 @@ def main():
         negative_class_ranking=True,
         negative_class_ranking_mode='unsup_only')
     step_fn = jax.jit(make_semi_train_step(
-        model, cfg, num_classes=21, base_lr=0.001, max_iters=80001))
+        model, cfg, num_classes=21, base_lr=0.001, max_iters=80001),
+        donate_argnums=0)
 
     mesh = make_mesh()
     state = replicate_state(mesh, state)

@@ -37,7 +37,9 @@ class IterBasedRunner:
                  eval_fn: Optional[Callable] = None,
                  seed: int = 0,
                  logger: Optional[logging.Logger] = None):
-        self.train_step = jax.jit(train_step)
+        # donate the state: params/momentum/EMA trees update in place on
+        # device instead of allocating fresh buffers每 step
+        self.train_step = jax.jit(train_step, donate_argnums=0)
         self.state = state
         self.loader = loader
         self.max_iters = max_iters

@@ -51,17 +51,46 @@ def _batch_box_masks(key: jax.Array, b: int, hw: Tuple[int, int],
     return jax.vmap(lambda k: random_box_mask(k, hw, ratio))(keys)
 
 
+def random_patchwise_mask(key: jax.Array, hw: Tuple[int, int],
+                          patchsize: int, ratio: float = 2.0) -> Array:
+    """{0,1} mask zeroing ``num_patches // ratio`` random patchsize^2
+    patches (reference generate_patchwise_cutout_mask,
+    generate_unsup_data.py:351-365). Fixed-shape: random per-patch scores,
+    rank-select the k lowest."""
+    h, w = hw
+    gh, gw = h // patchsize, w // patchsize
+    n = gh * gw
+    k = int(n // ratio)
+    scores = jax.random.uniform(key, (n,))
+    ranks = jnp.argsort(jnp.argsort(scores))
+    cut = (ranks < k).astype(jnp.float32).reshape(gh, gw)
+    mask = 1.0 - jnp.repeat(jnp.repeat(cut, patchsize, 0), patchsize, 1)
+    return mask
+
+
+def _batch_patchwise_masks(key: jax.Array, b: int, hw: Tuple[int, int],
+                           patchsize: int, ratio: float) -> Array:
+    keys = jax.random.split(key, b)
+    return jax.vmap(lambda k: random_patchwise_mask(
+        k, hw, patchsize, ratio))(keys)
+
+
 # ------------------------------------------------------------------ CutMix
 def cutmix(key: jax.Array, imgs: Array, labels: Array,
-           ratio: float = 2.0) -> Tuple[Array, Array]:
-    """Sample i mixed with sample (i+1) % B under a per-sample box
-    (generate_unsup_cutmix_data, generate_unsup_data.py:400-453)."""
+           ratio: float = 2.0, patchwise: bool = False,
+           patchsize: int = 128) -> Tuple[Array, Array]:
+    """Sample i mixed with sample (i+1) % B under a per-sample box — or a
+    random patch set when ``patchwise`` (generate_unsup_cutmix_data,
+    generate_unsup_data.py:400-453)."""
     b, h, w, _ = imgs.shape
     if labels.shape[1:] != (h, w):
         labels_full = resize_nearest(labels, (h, w))
     else:
         labels_full = labels
-    masks = _batch_box_masks(key, b, (h, w), ratio)  # [B,H,W], 0 in box
+    if patchwise:
+        masks = _batch_patchwise_masks(key, b, (h, w), patchsize, ratio)
+    else:
+        masks = _batch_box_masks(key, b, (h, w), ratio)  # [B,H,W], 0 in box
     nxt = jnp.roll(jnp.arange(b), -1)
     m4 = masks[..., None]
     new_imgs = imgs * m4 + imgs[nxt] * (1.0 - m4)
@@ -79,11 +108,15 @@ def sup_cutmix(key: jax.Array, imgs: Array, labels: Array
 
 # ------------------------------------------------------------------ CutOut
 def cutout(key: jax.Array, imgs: Array, labels: Array,
-           ratio: float = 2.0) -> Tuple[Array, Array]:
-    """Zero a box in the image, set its label region to 255
-    (generate_unsup_cutout_data, :368-397)."""
+           ratio: float = 2.0, patchwise: bool = False,
+           patchsize: int = 64) -> Tuple[Array, Array]:
+    """Zero a box (or random patches when ``patchwise``) in the image,
+    set its label region to 255 (generate_unsup_cutout_data, :368-397)."""
     b, h, w, _ = imgs.shape
-    masks = _batch_box_masks(key, b, (h, w), ratio)
+    if patchwise:
+        masks = _batch_patchwise_masks(key, b, (h, w), patchsize, ratio)
+    else:
+        masks = _batch_box_masks(key, b, (h, w), ratio)
     new_imgs = imgs * masks[..., None]
     lab_full = labels if labels.shape[1:] == (h, w) else \
         resize_nearest(labels, (h, w))

@@ -135,15 +135,18 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
         return (jnp.where(gate, new_imgs, imgs),
                 jnp.where(gate, new_labels, labels))
 
+    ps = cfg.patchsize * cfg.PatchMix_N
     if cfg.use_CutMix:
         imgs, labels = gated(
             k[0], cfg.strong_aug_prob,
-            lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area),
+            lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area,
+                                          cfg.patchwise, ps),
             imgs, labels)
     if cfg.use_CutOut:
         imgs, labels = gated(
             k[1], 0.5,
-            lambda kk, i, l: mixes.cutout(kk, i, l, cfg.cutout_area),
+            lambda kk, i, l: mixes.cutout(kk, i, l, cfg.cutout_area,
+                                          cfg.patchwise, ps),
             imgs, labels)
     if cfg.use_ClassMix:
         imgs, labels = gated(

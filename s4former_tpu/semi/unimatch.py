@@ -34,13 +34,23 @@ def cutmix_unimatch(key: jax.Array, imgs: Array, mix_imgs: Array,
                     labels: Array, mix_labels: Array,
                     ratio: float = 2.0) -> Tuple[Array, Array]:
     """Per-sample box: inside the box take the MIX stream's pixels/labels
-    (same batch index), outside keep the original."""
+    (same batch index), outside keep the original. Labels may live at
+    head-output resolution; mix at image resolution, resize back (the
+    reference's nearest pre/post-resize, generate_unsup_data.py:410-452).
+    """
+    from s4former_tpu.ops.resize import resize_nearest
     b, h, w, _ = imgs.shape
+    label_hw = labels.shape[1:]
+    lab = labels if label_hw == (h, w) else resize_nearest(labels, (h, w))
+    mix_lab = mix_labels if label_hw == (h, w) else \
+        resize_nearest(mix_labels, (h, w))
     masks = jax.vmap(lambda k: mixes.random_box_mask(k, (h, w), ratio))(
         jax.random.split(key, b))
     m4 = masks[..., None]
     new_imgs = imgs * m4 + mix_imgs * (1.0 - m4)
-    new_labels = jnp.where(masks > 0.5, labels, mix_labels)
+    new_labels = jnp.where(masks > 0.5, lab, mix_lab)
+    if label_hw != (h, w):
+        new_labels = resize_nearest(new_labels, label_hw)
     return new_imgs, new_labels.astype(labels.dtype)
 
 
