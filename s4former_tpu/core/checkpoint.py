@@ -281,10 +281,24 @@ def convert_mmseg_checkpoint(path_or_sd,
         p, b = convert_setr_up_head(dh)
         params['decode_head_m'] = p
         batch_stats['decode_head_m'] = b
+    aux_p, aux_b = [], []
     for i in range(num_aux):
         ah = sub(f'auxiliary_head.{i}.')
         if ah:
             p, b = convert_setr_up_head(ah)
+            aux_p.append(p)
+            aux_b.append(b)
+    if aux_p:
+        # our segmentor fuses identical aux heads into one vmapped stack
+        # with a leading [num_aux] axis (params['aux_heads']); also emit the
+        # per-head layout for fuse_aux_heads=False models
+        def stack_trees(trees):
+            return jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *trees)
+
+        params['aux_heads'] = {'head': stack_trees(aux_p)}
+        batch_stats['aux_heads'] = {'head': stack_trees(aux_b)}
+        for i, (p, b) in enumerate(zip(aux_p, aux_b)):
             params[f'aux_heads_{i}'] = p
             batch_stats[f'aux_heads_{i}'] = b
 

@@ -46,6 +46,21 @@ def _build_module(cfg):
     return MODELS.build(kwargs)
 
 
+class _AuxVmapBody(nn.Module):
+    """vmap body: one aux head applied to one feature level."""
+    head_cfg: Any
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, feat: Array) -> Array:
+        cfg = {k: v for k, v in self.head_cfg.items()}
+        head_cls = MODELS.get(cfg.pop('type'))
+        if isinstance(cfg.get('dtype'), str):
+            cfg['dtype'] = jnp.dtype(cfg['dtype'])
+        head = head_cls(**cfg, name='head')
+        return head(feat, train=self.train)
+
+
 @SEGMENTORS.register_module()
 class EncoderDecoder(nn.Module):
     """Backbone -> (neck) -> decode head (+ aux heads).
@@ -59,6 +74,10 @@ class EncoderDecoder(nn.Module):
     neck: Optional[Union[dict, Any]] = None
     auxiliary_head: Optional[Union[dict, list]] = None
     align_corners: bool = False
+    # fuse architecturally-identical aux heads (differing only by in_index)
+    # into ONE nn.vmap'd stack: 4 separate conv pipelines become one
+    # batched pipeline (stacked params under params['aux_heads'])
+    fuse_aux_heads: bool = True
 
     def setup(self):
         self.backbone_m = _build_module(self.backbone) \
@@ -70,8 +89,24 @@ class EncoderDecoder(nn.Module):
         aux = self.auxiliary_head
         if _is_cfg(aux):
             aux = [aux]
+        self.aux_fused_cfg = None
+        self.aux_fused_indices = ()
         if aux is not None and len(aux) and _is_cfg(aux[0]):
-            aux = [_build_module(a) for a in aux]
+            cfgs = [{k: v for k, v in a.items()} for a in aux]
+            bases = [{k: v for k, v in c.items() if k != 'in_index'}
+                     for c in cfgs]
+            if (self.fuse_aux_heads and len(cfgs) > 1 and
+                    all(b == bases[0] for b in bases) and
+                    all(isinstance(c.get('in_index', 0), int)
+                        for c in cfgs)):
+                fused_cfg = dict(bases[0])
+                fused_cfg['in_index'] = 0  # each vmap lane gets its level
+                self.aux_fused_cfg = fused_cfg
+                self.aux_fused_indices = tuple(
+                    c.get('in_index', 0) for c in cfgs)
+                aux = []
+            else:
+                aux = [_build_module(a) for a in cfgs]
         self.aux_heads = tuple(aux) if aux is not None else tuple()
 
     @property
@@ -111,7 +146,27 @@ class EncoderDecoder(nn.Module):
             feats, train=train, patchmix_perm=patchmix_perm,
             patchmix_n=patchmix_n)
 
+    @nn.compact
     def aux_logits(self, feats, *, train: bool = False) -> List[Array]:
+        # compact: the fused aux stack is created inline (vmap-wrapped
+        # submodule); called at most once per apply
+        if self.aux_fused_cfg is not None:
+            sel = [feats[i] for i in self.aux_fused_indices]
+            if all(f.shape == sel[0].shape for f in sel):
+                stacked = jnp.stack(sel, axis=0)  # [K, B, h, w, C]
+                stack_cls = nn.vmap(
+                    _AuxVmapBody,
+                    variable_axes={'params': 0, 'batch_stats': 0},
+                    split_rngs={'params': True, 'dropout': True,
+                                'fdrop': True},
+                    in_axes=0, out_axes=0)
+                outs = stack_cls(head_cfg=self.aux_fused_cfg, train=train,
+                                 name='aux_heads')(stacked)
+                return [outs[i] for i in range(outs.shape[0])]
+            # shape mismatch across levels: unfused per-level fallback
+            heads = [_build_module({**self.aux_fused_cfg, 'in_index': 0})
+                     for _ in sel]
+            return [h(f, train=train) for h, f in zip(heads, sel)]
         return [h(feats, train=train) for h in self.aux_heads]
 
     def encode_decode(self, img: Array, *, train: bool = False) -> Array:
