@@ -3,3 +3,4 @@ from s4former_tpu.models.losses.cross_entropy import (  # noqa: F401
     softmax_cross_entropy_with_ignore)
 from s4former_tpu.models.losses.extra_losses import (  # noqa: F401
     DiceLoss, FocalLoss, LovaszLoss, OHEM_CrossEntropyLoss)
+from s4former_tpu.models.losses.extra_losses import EdgeLoss  # noqa: F401

@@ -101,3 +101,18 @@ def test_lovasz_perfect_prediction_near_zero():
     logits[..., 0] = 10.0
     loss = LovaszLoss(per_image=True)
     assert float(loss(jnp.asarray(logits), jnp.asarray(label))) < 1e-3
+
+
+def test_edge_loss_upweights_boundaries():
+    from s4former_tpu.models.losses.extra_losses import EdgeLoss
+    logits, label = _case(2)
+    v = float(EdgeLoss()(jnp.asarray(logits),
+                         jnp.asarray(label.astype(np.int32))))
+    assert np.isfinite(v) and v > 0
+    # uniform label -> no edges -> equals plain weighted CE mean over valid
+    flat_label = np.zeros((1, 8, 8), np.int32)
+    v2 = float(EdgeLoss(edge_weight=100.0)(
+        jnp.asarray(logits[:1]), jnp.asarray(flat_label)))
+    v3 = float(EdgeLoss(edge_weight=0.0)(
+        jnp.asarray(logits[:1]), jnp.asarray(flat_label)))
+    assert abs(v2 - v3) < 1e-6  # no boundary pixels -> weight irrelevant
