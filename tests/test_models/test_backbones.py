@@ -82,3 +82,25 @@ def test_backbones_ignore_semi_kwargs():
         out = model.apply(variables, img, attn_bias=None,
                           pos_mode='default', use_fdrop=False)
         assert len(out) >= 1
+
+
+def test_unet_shapes():
+    outs = _run(dict(type='UNet', base_channels=8, num_stages=3,
+                     strides=(1, 1, 1), downsamples=(True, True)),
+                (1, 32, 32, 3))
+    assert len(outs) == 3
+    assert outs[0].shape == (1, 8, 8, 32)   # bottleneck
+    assert outs[-1].shape == (1, 32, 32, 8)  # full-res decoder
+
+
+def test_mobilenet_v2_shapes():
+    outs = _run(dict(type='MobileNetV2', widen_factor=0.5), (1, 64, 64, 3))
+    assert len(outs) == 4
+    assert outs[0].shape[1:3] == (16, 16)
+    assert outs[-1].shape[1:3] == (2, 2)
+
+
+def test_mobilenet_v3_runs():
+    outs = _run(dict(type='MobileNetV3', out_indices=(1, 3, 15)),
+                (1, 64, 64, 3))
+    assert len(outs) == 3
