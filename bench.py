@@ -47,7 +47,7 @@ def main():
     flagship['backbone']['remat_layers'] = \
         os.environ.get('BENCH_REMAT', '1') == '1'
     flagship['backbone']['use_flash'] = \
-        os.environ.get('BENCH_FLASH', '0') == '1'
+        os.environ.get('BENCH_FLASH', '1') == '1'
     flagship['decode_head']['dtype'] = dtype
     for aux in flagship['auxiliary_head']:
         aux['dtype'] = dtype

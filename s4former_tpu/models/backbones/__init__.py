@@ -5,3 +5,4 @@ from s4former_tpu.models.backbones.swin import SwinTransformer  # noqa: F401
 from s4former_tpu.models.backbones.beit import BEiT, MAE  # noqa: F401
 from s4former_tpu.models.backbones.mobilenet import MobileNetV2, MobileNetV3  # noqa: F401
 from s4former_tpu.models.backbones.unet import UNet  # noqa: F401
+from s4former_tpu.models.backbones.hrnet import HRNet  # noqa: F401

@@ -244,11 +244,10 @@ class VisionTransformer(nn.Module):
     output_cls_token: bool = False
     final_norm: bool = False
     norm_eps: float = 1e-6
-    # measured on v5e at L=1025/d=64: XLA attention beats the Pallas flash
-    # kernel by ~24% (the [B,H,L,L] scores fit easily; the kernel's d=64
-    # tiles underfill the MXU). Flash stays opt-in for long-sequence
-    # variants (e.g. 768^2 -> 2305 tokens) pending kernel tuning.
-    use_flash: bool = False
+    # measured on v5e at L=1025/d=64: the tuned Pallas kernel (256-row q
+    # blocks, single full-K block, no online-softmax loop) runs fwd+bwd
+    # 1.8x faster than XLA attention (4.54 vs 8.35 ms at B=8).
+    use_flash: bool = True
     remat_layers: bool = True
     dtype: jnp.dtype = jnp.float32  # compute dtype for matmuls
     # accepted-and-ignored config keys for parity with reference configs

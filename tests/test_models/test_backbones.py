@@ -104,3 +104,21 @@ def test_mobilenet_v3_runs():
     outs = _run(dict(type='MobileNetV3', out_indices=(1, 3, 15)),
                 (1, 64, 64, 3))
     assert len(outs) == 3
+
+
+def test_hrnet_shapes():
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, num_blocks=(1,),
+                    num_channels=(8,)),
+        stage2=dict(num_modules=1, num_branches=2, num_blocks=(1, 1),
+                    num_channels=(8, 16)),
+        stage3=dict(num_modules=1, num_branches=3, num_blocks=(1, 1, 1),
+                    num_channels=(8, 16, 32)),
+        stage4=dict(num_modules=1, num_branches=4,
+                    num_blocks=(1, 1, 1, 1), num_channels=(8, 16, 32, 64)))
+    outs = _run(dict(type='HRNet', extra=extra), (1, 64, 64, 3))
+    assert len(outs) == 4
+    assert outs[0].shape == (1, 16, 16, 8)
+    assert outs[1].shape == (1, 8, 8, 16)
+    assert outs[2].shape == (1, 4, 4, 32)
+    assert outs[3].shape == (1, 2, 2, 64)
