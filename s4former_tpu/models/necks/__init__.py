@@ -1,2 +1,2 @@
 from s4former_tpu.models.necks.necks import (  # noqa: F401
-    FPN, Feature2Pyramid, MLANeck, MultiLevelNeck)
+    FPN, Feature2Pyramid, ICNeck, JPU, MLANeck, MultiLevelNeck)

@@ -125,3 +125,56 @@ class FPN(nn.Module):
                         name=f'fpn_{i}')(laterals[i])
                 for i in range(len(laterals))]
         return tuple(outs[:self.num_outs])
+
+
+@NECKS.register_module()
+class ICNeck(nn.Module):
+    """(ic_neck.py): ICNet cascade feature fusion — fuse low-res semantic
+    features into higher-res ones."""
+    in_channels: Sequence[int] = (64, 256, 256)
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        # inputs ordered high-res -> low-res
+        outs = []
+        prev = None
+        for i, x in enumerate(reversed(inputs)):
+            y = ConvReLU(self.out_channels, 1, use_norm=True,
+                         name=f'proj_{i}')(x, train)
+            if prev is not None:
+                up = resize_bilinear(prev, y.shape[1:3], False)
+                y = nn.relu(y + up)
+            outs.append(y)
+            prev = y
+        return tuple(reversed(outs))
+
+
+@NECKS.register_module()
+class JPU(nn.Module):
+    """(jpu.py): Joint Pyramid Upsampling — upsample the two deepest
+    levels to the shallowest, concat, multi-dilation depthwise convs."""
+    in_channels: Sequence[int] = (512, 1024, 2048)
+    mid_channels: int = 512
+    dilations: Sequence[int] = (1, 2, 4, 8)
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False):
+        feats = [ConvReLU(self.mid_channels, 3, use_norm=True,
+                          name=f'conv_{i}')(x, train)
+                 for i, x in enumerate(inputs)]
+        target_hw = feats[0].shape[1:3]
+        feats = [f if f.shape[1:3] == target_hw else
+                 resize_bilinear(f, target_hw, False) for f in feats]
+        x = jnp.concatenate(feats, axis=-1)
+        outs = []
+        for d in self.dilations:
+            c = x.shape[-1]
+            y = nn.Conv(c, (3, 3), padding=d, kernel_dilation=d,
+                        feature_group_count=c, use_bias=False,
+                        name=f'dil_{d}_dw')(x)
+            y = ConvReLU(self.mid_channels, 1, use_norm=True,
+                         name=f'dil_{d}_pw')(y, train)
+            outs.append(y)
+        fused = jnp.concatenate(outs, axis=-1)
+        return tuple(list(inputs[:-1]) + [fused])

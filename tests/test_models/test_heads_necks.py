@@ -101,3 +101,19 @@ def test_necks(neck_cfg, shapes, expect_hw):
     outs = neck.apply(variables, feats, train=False)
     assert len(outs) == len(shapes)
     assert outs[0].shape[1:3] == expect_hw
+
+
+def test_icneck_and_jpu():
+    ic = NECKS.build(dict(type='ICNeck', in_channels=[8, 16, 16],
+                          out_channels=8))
+    feats = _feats([(1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 16)])
+    v = ic.init({'params': jax.random.PRNGKey(0)}, feats, train=False)
+    outs = ic.apply(v, feats, train=False)
+    assert len(outs) == 3 and outs[0].shape == (1, 16, 16, 8)
+
+    jpu = NECKS.build(dict(type='JPU', in_channels=[8, 16, 32],
+                           mid_channels=8, dilations=(1, 2)))
+    feats = _feats([(1, 8, 8, 8), (1, 4, 4, 16), (1, 2, 2, 32)])
+    v = jpu.init({'params': jax.random.PRNGKey(0)}, feats, train=False)
+    outs = jpu.apply(v, feats, train=False)
+    assert len(outs) == 3 and outs[-1].shape == (1, 8, 8, 16)
