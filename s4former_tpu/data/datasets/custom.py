@@ -309,3 +309,31 @@ class UniSemiDataset(SemiDataset):
     def __len__(self):
         n = super().__len__()
         return n + (len(self.unsup2) if self.unsup2 else 0)
+
+
+@DATASETS.register_module()
+class ISPRSDataset(CustomDataset):
+    """(isprs.py / vaihingen): same 6 classes as Potsdam."""
+    CLASSES = PotsdamDataset.CLASSES
+    PALETTE = PotsdamDataset.PALETTE
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.png')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class iSAIDDataset(CustomDataset):
+    """(isaid.py): 16 classes aerial instance-seg-as-semantic."""
+    CLASSES = ('background', 'ship', 'storage_tank', 'baseball_diamond',
+               'tennis_court', 'basketball_court', 'ground_track_field',
+               'bridge', 'large_vehicle', 'small_vehicle', 'helicopter',
+               'swimming_pool', 'roundabout', 'soccer_ball_field', 'plane',
+               'harbor')
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.png')
+        kwargs.setdefault('seg_map_suffix', '_instance_color_RGB.png')
+        super().__init__(**kwargs)

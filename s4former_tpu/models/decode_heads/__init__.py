@@ -4,3 +4,4 @@ from s4former_tpu.models.decode_heads.misc_heads import (  # noqa: F401
     FCNHead, PSPHead, SETRMLAHead)
 from s4former_tpu.models.decode_heads.projection import ProjectionHead, ViTClsHead  # noqa: F401
 from s4former_tpu.models.decode_heads.misc_heads import UPerHead  # noqa: F401
+from s4former_tpu.models.decode_heads.misc_heads import OCRHead  # noqa: F401

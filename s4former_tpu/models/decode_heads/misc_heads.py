@@ -234,3 +234,65 @@ class UPerHead(nn.Module):
         logits = nn.Conv(self.num_classes, (1, 1),
                          name='conv_seg')(x).astype(jnp.float32)
         return (logits, feat) if return_last_feat else logits
+
+
+@HEADS.register_module()
+class OCRHead(nn.Module):
+    """(ocr_head.py): Object-Contextual Representations. A CASCADE head:
+    takes backbone features PLUS the previous head's logits (appended as
+    the last input by CascadeEncoderDecoder). Soft object regions from the
+    prior logits gather per-class context vectors; pixels attend to them.
+    """
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 19
+    ocr_channels: int = 256
+    scale: int = 1
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+    dropout_ratio: float = 0.1
+    align_corners: bool = False
+    loss_decode: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[Union[dict, list]] = None
+    sampler: Optional[dict] = None
+    ignore_index: int = 255
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        # last element = previous-stage logits (cascade contract)
+        prev_logits = inputs[-1]
+        feats = inputs[:-1]
+        x = transform_inputs(list(feats), self.in_index,
+                             self.input_transform, self.align_corners) \
+            if isinstance(feats, (list, tuple)) else feats
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(x, train)
+        b, h, w, c = x.shape
+        if prev_logits.shape[1:3] != (h, w):
+            prev_logits = resize_bilinear(prev_logits, (h, w),
+                                          self.align_corners)
+        # soft object regions: [B, K, HW]
+        probs = jax.nn.softmax(
+            prev_logits.reshape(b, h * w, -1).transpose(0, 2, 1), axis=-1)
+        pixels = x.reshape(b, h * w, c)
+        # per-class context vectors [B, K, C]
+        context = jnp.einsum('bkp,bpc->bkc', probs, pixels)
+        # pixel-region attention
+        query = nn.Dense(self.ocr_channels, name='query')(pixels)
+        key = nn.Dense(self.ocr_channels, name='key')(context)
+        value = nn.Dense(self.ocr_channels, name='value')(context)
+        sim = jnp.einsum('bpc,bkc->bpk', query, key) / \
+            jnp.sqrt(float(self.ocr_channels))
+        attn = jax.nn.softmax(sim, axis=-1)
+        ocr = jnp.einsum('bpk,bkc->bpc', attn, value)
+        ocr = nn.Dense(self.channels, name='proj')(ocr)
+        y = jnp.concatenate([pixels, ocr], axis=-1).reshape(b, h, w, -1)
+        y = ConvBNReLU(self.channels, 1, name='fuse')(y, train)
+        feat = y
+        if self.dropout_ratio > 0:
+            y = nn.Dropout(self.dropout_ratio)(y, deterministic=not train)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(y).astype(jnp.float32)
+        return (logits, feat) if return_last_feat else logits

@@ -117,3 +117,37 @@ def test_icneck_and_jpu():
     v = jpu.init({'params': jax.random.PRNGKey(0)}, feats, train=False)
     outs = jpu.apply(v, feats, train=False)
     assert len(outs) == 3 and outs[-1].shape == (1, 8, 8, 16)
+
+
+def test_ocr_head_cascade():
+    """OCRHead consumes [features..., prev_logits] (cascade contract)."""
+    feats = _feats([(2, 8, 8, 32)])
+    prev_logits = _feats([(2, 8, 8, 5)])[0]
+    head = HEADS.build(dict(type='OCRHead', in_channels=32, channels=16,
+                            ocr_channels=8, num_classes=5, in_index=0))
+    inputs = feats + [prev_logits]
+    v = head.init({'params': jax.random.PRNGKey(0)}, inputs, train=False)
+    out = head.apply(v, inputs, train=False)
+    assert out.shape == (2, 8, 8, 5)
+
+
+def test_cascade_encoder_decoder_with_ocr():
+    import s4former_tpu.models  # noqa
+    from s4former_tpu.registry import SEGMENTORS
+    model = SEGMENTORS.build(dict(
+        type='CascadeEncoderDecoder',
+        num_stages=2,
+        backbone=dict(type='VisionTransformer', img_size=(64, 64),
+                      patch_size=16, embed_dims=32, num_layers=2,
+                      num_heads=4, out_indices=(1,), use_flash=False),
+        decode_head=[
+            dict(type='FCNHead', in_channels=32, channels=16,
+                 num_classes=5, in_index=0, num_convs=1,
+                 concat_input=False),
+            dict(type='OCRHead', in_channels=32, channels=16,
+                 ocr_channels=8, num_classes=5, in_index=0),
+        ]))
+    img = jnp.zeros((1, 64, 64, 3))
+    v = model.init({'params': jax.random.PRNGKey(0)}, img, train=False)
+    out = model.apply(v, img, train=False)
+    assert out.shape == (1, 64, 64, 5)
