@@ -48,6 +48,8 @@ def main():
         os.environ.get('BENCH_REMAT', '1') == '1'
     flagship['backbone']['use_flash'] = \
         os.environ.get('BENCH_FLASH', '1') == '1'
+    flagship['backbone']['remat_policy'] = \
+        os.environ.get('BENCH_REMAT_POLICY', 'full')
     flagship['decode_head']['dtype'] = dtype
     for aux in flagship['auxiliary_head']:
         aux['dtype'] = dtype

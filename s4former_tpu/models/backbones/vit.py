@@ -249,6 +249,9 @@ class VisionTransformer(nn.Module):
     # 1.8x faster than XLA attention (4.54 vs 8.35 ms at B=8).
     use_flash: bool = True
     remat_layers: bool = True
+    # 'full' = recompute everything in bwd (min memory); 'dots' = save
+    # matmul outputs, recompute elementwise only (faster bwd, more HBM)
+    remat_policy: str = 'full'
     dtype: jnp.dtype = jnp.float32  # compute dtype for matmuls
     # accepted-and-ignored config keys for parity with reference configs
     interpolate_mode: str = 'bilinear'
@@ -318,8 +321,11 @@ class VisionTransformer(nn.Module):
             # rematerialize each block in backward: HBM stores only the
             # per-layer activations (jax.checkpoint; SURVEY.md hard-parts:
             # three student forwards per step at bs8/replica)
+            policy = None
+            if self.remat_policy == 'dots':
+                policy = jax.checkpoint_policies.checkpoint_dots
             body_cls = nn.remat(_LayerScanBody, prevent_cse=False,
-                                static_argnums=())
+                                static_argnums=(), policy=policy)
         scan_cls = nn.scan(
             body_cls,
             variable_axes={'params': 0},
