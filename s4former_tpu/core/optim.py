@@ -6,8 +6,8 @@ configs/setr/..._MT_w_ours.py:259-262 custom_keys={'head': lr_mult 10}).
 
 - SGD with momentum, torch semantics: buf = m*buf + (g + wd*p);
   p -= lr * buf (torch.optim.SGD default, nesterov off).
-- poly LR: lr = (base - min_lr) is NOT mmcv's formula; mmcv PolyLrUpdater
-  computes lr = base * (1 - iter/max_iter)^power clipped at min_lr.
+- poly LR, mmcv 1.x PolyLrUpdaterHook semantics:
+  lr = (base_lr - min_lr) * (1 - iter/max_iter)^power + min_lr.
 - per-leaf lr multiplier by substring match on the parameter path (mmcv
   DefaultOptimizerConstructor custom_keys semantics).
 
@@ -26,10 +26,10 @@ Pytree = Any
 
 def poly_lr(step: jax.Array, base_lr: float, max_iters: int,
             power: float = 0.9, min_lr: float = 1e-4) -> jax.Array:
-    """mmcv poly policy (by_epoch=False)."""
+    """mmcv 1.x PolyLrUpdaterHook (by_epoch=False):
+    lr = (base_lr - min_lr) * (1 - progress)^power + min_lr."""
     progress = jnp.minimum(step.astype(jnp.float32) / max_iters, 1.0)
-    lr = base_lr * (1.0 - progress) ** power
-    return jnp.maximum(lr, min_lr)
+    return (base_lr - min_lr) * (1.0 - progress) ** power + min_lr
 
 
 def build_lr_mult_tree(params: Pytree,

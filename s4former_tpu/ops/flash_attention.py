@@ -99,7 +99,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         lse_ref[0, 0, :] = m_ref[:, 0] + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
+def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
+         interpret=False):
     bh, lq, d = q.shape
     lk = k.shape[1]
     grid = (bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
@@ -146,6 +147,7 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
     )(*args)
     return o, lse
 
@@ -230,8 +232,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
-    q, k, v, bias, o, lse = residuals
+def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
+         valid_len, interpret=False):
     do = g
     bh, lq, d = q.shape
     lk = k.shape[1]
@@ -284,6 +286,7 @@ def _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
                         pltpu.VMEM((blk_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
     )(*args)
 
     qkv_specs_qk = [  # grid (bh, qblocks, kblocks): k varies innermost
@@ -325,39 +328,55 @@ def _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
     )(*args)
 
-    dbias = None if bias is None else jnp.zeros_like(bias)
-    return (dq, dk, dv, dbias)
+    return (dq, dk, dv)
 
 
 # ================================================================ wrapper
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
-    o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len)
-    return o
+def _flash(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
+           interpret):
+    """custom_vjp over (q, k, v) only. ``bias`` is CLOSED OVER, not an
+    explicit differentiable input: if a caller tries to differentiate
+    through it (e.g. a learnable PASA sigma with use_flash=True), JAX
+    raises a CustomVJPException at trace time instead of silently
+    training the sigma with a zero gradient. The learnable-sigma
+    ablation must use the XLA path (module docstring)."""
 
+    @jax.custom_vjp
+    def f(q, k, v):
+        o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
+                    valid_len, interpret)
+        return o
 
-def _flash_fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len):
-    o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
-                  valid_len)
-    return o, (q, k, v, bias, o, lse)
+    def f_fwd(q, k, v):
+        o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
+                      valid_len, interpret)
+        return o, (q, k, v, o, lse)
 
+    def f_bwd(residuals, g):
+        qr, kr, vr, o, lse = residuals
+        return _bwd(qr, kr, vr, bias, o, lse, g, num_heads, sm_scale,
+                    blk_q, blk_k, valid_len, interpret)
 
-def _flash_bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g):
-    return _bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, residuals, g)
-
-
-_flash.defvjp(_flash_fwd, _flash_bwd)
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)
 
 
 def flash_attention(q: Array, k: Array, v: Array,
                     bias: Optional[Array] = None,
                     blk_q: int = DEFAULT_BLK_Q,
-                    blk_k: Optional[int] = DEFAULT_BLK_K) -> Array:
+                    blk_k: Optional[int] = DEFAULT_BLK_K,
+                    interpret: Optional[bool] = None) -> Array:
     """q, k, v: [B, L, H, D]; bias broadcastable to [B, H, L, L] (head axis
     may be 1). Returns [B, L, H, D]. Pads L to block multiples internally.
-    Bias is non-differentiable (see module docstring)."""
+    Bias is non-differentiable (see module docstring); differentiating
+    through it raises. ``interpret=None`` auto-enables the Pallas
+    interpreter off-TPU so both fwd and bwd kernels run (and are tested)
+    on the CPU mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
     b, l, h, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
     if blk_k is None:
@@ -377,6 +396,6 @@ def flash_attention(q: Array, k: Array, v: Array,
     qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
     if bias is not None and lp != l:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lp - l), (0, lp - l)))
-    out = _flash(qf, kf, vf, bias, h, sm_scale, blk_q, blk_k, l)
+    out = _flash(qf, kf, vf, bias, h, sm_scale, blk_q, blk_k, l, interpret)
     out = out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)
     return out

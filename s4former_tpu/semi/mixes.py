@@ -238,7 +238,7 @@ def cutmix_label_adaptive(key: jax.Array,
     the caller (encoder_decoder.py:608-620). Returns (imgs, labels, probs).
     """
     b, h, w, _ = unlabeled_imgs.shape
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     rand_index = jax.random.permutation(k1, b)
     lam_l = jax.random.beta(k2, 8.0, 2.0)
     lam_u = jax.random.beta(k3, 4.0, 4.0)
@@ -263,7 +263,9 @@ def cutmix_label_adaptive(key: jax.Array,
 
     inside_l = boxes(k4, lam_l)
     inside_u = boxes(k5, lam_u)
-    paste_lab = (jax.random.uniform(k1, (b,)) > confidences)
+    # independent draw for the paste gate (the reference draws torch.rand
+    # separately from the permutation; reusing k1 would correlate them)
+    paste_lab = (jax.random.uniform(k6, (b,)) > confidences)
 
     mix_imgs = jnp.where(
         (inside_l & paste_lab[:, None, None])[..., None],

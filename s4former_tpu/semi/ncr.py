@@ -55,6 +55,11 @@ def ncr_loss(student_logits: Array,
     - 'kl': KL(teacher || student) on full softmaxes.
     - 'unsup_only_kl' / 'reweight_unsup_only_kl': KL on excluded softmaxes
       (reweight adds a final x0.5).
+    - 'sup': the SUPERVISED-branch loop (encoder_decoder.py:443-474):
+      KL(teacher || student) on excluded softmaxes PLUS the pairwise L2 —
+      the reference adds pdist unconditionally after the KL branch
+      (:468-472, the "double-pdist" quirk), so the effective per-class
+      contribution is KL_sum + L2_sum. Reproduced deliberately.
     The reference's per-class KL>1e6 fallback-to-L2 is a numerical guard
     for empty/degenerate classes; with the fixed-shape masked formulation
     empty classes contribute exactly 0, so the guard is unnecessary (the
@@ -72,14 +77,18 @@ def ncr_loss(student_logits: Array,
         sp = _excluded_softmax(sl, label, num_classes)
         tp = _excluded_softmax(tl, label, num_classes)
 
+    eps = 1e-12
     if mode in ('unsup_only', 'both', 'all'):
         # pairwise L2 distance per pixel, summed
         per_pixel = jnp.sqrt(jnp.sum((sp - tp) ** 2, axis=-1) + 1e-12)
     elif mode in ('kl', 'unsup_only_kl', 'reweight_unsup_only_kl'):
         # F.kl_div(log(sp), tp, reduction='sum') = sum tp*(log tp - log sp)
-        eps = 1e-12
         per_pixel = jnp.sum(
             tp * (jnp.log(tp + eps) - jnp.log(sp + eps)), axis=-1)
+    elif mode == 'sup':
+        kl = jnp.sum(tp * (jnp.log(tp + eps) - jnp.log(sp + eps)), axis=-1)
+        l2 = jnp.sqrt(jnp.sum((sp - tp) ** 2, axis=-1) + 1e-12)
+        per_pixel = kl + l2
     else:
         raise ValueError(f'unknown NCR mode {mode}')
 

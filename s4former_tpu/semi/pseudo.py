@@ -64,10 +64,16 @@ def pseudo_ce_loss(student_logits: Array, hard_label: Array) -> Array:
     return jnp.mean(nll)
 
 
-def soft_pseudo_ce_loss(student_logits: Array, soft_label: Array) -> Array:
-    """Soft-label CE (unsup_soft=True path, :914-918)."""
+def soft_pseudo_ce_loss(student_logits: Array, soft_label: Array,
+                        conf_mask: Optional[Array] = None) -> Array:
+    """Soft-label CE (unsup_soft=True path, :914-918). When
+    unsup_confidence != 0 the reference multiplies the per-pixel loss by
+    the teacher conf mask before the mean (:918-922 ``mask = mask *
+    teacher_info['conf_mask']``) — pass ``conf_mask`` [B,H,W] to match."""
     logp = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
     per = -jnp.sum(soft_label * logp, axis=-1)
+    if conf_mask is not None:
+        per = per * conf_mask.astype(per.dtype)
     return jnp.mean(per)
 
 

@@ -92,7 +92,7 @@ def _head_loss_fns(model) -> Tuple[Callable, list]:
 
 def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
     """Supervised branch: all heads vs GT (encoder_decoder.py:426-441).
-    Returns (losses dict, new batch_stats)."""
+    Returns (losses dict, new batch_stats, main logits at GT resolution)."""
     (main, aux), upd = model.apply(
         variables, mutable=['batch_stats'],
         method='forward_train_heads_from_img', img=img, train=True,
@@ -111,7 +111,7 @@ def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
     losses['decode.acc_seg'] = accuracy(main, gt)
     for i, (a, lfn) in enumerate(zip(aux, aux_losses)):
         losses[f'aux_{i}.loss_ce'] = lfn(to_gt(a), gt)
-    return losses, upd['batch_stats']
+    return losses, upd['batch_stats'], main
 
 
 def apply_strong_mixes(cfg: SemiConfig, rng: Array,
@@ -121,6 +121,7 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
     """The strong-augmentation cascade on (student imgs, teacher labels)
     (encoder_decoder.py:584-648). Returns (imgs, labels, patchmix_perm)."""
     perm = None
+    raw_imgs = imgs  # pre-mix student images (for cutmix_adaptive below)
     k = jax.random.split(rng, 8)
 
     if cfg.mix_with_labeled:
@@ -155,15 +156,20 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
             imgs, labels)
     if cfg.use_cutmix_adaptive:
         # per-sample confidence = mean((1 - normalized entropy) * maxprob)
-        # (encoder_decoder.py:608-620)
+        # (encoder_decoder.py:608-620). The reference mixes the PRE-mix
+        # student images (student_imgs, not student_info['img']) with a
+        # FRESH teacher argmax (before 255 masking) and then overwrites
+        # both — discarding earlier CutMix/CutOut/ClassMix effects
+        # (:621-630). Reproduced exactly.
         probs = jax.nn.softmax(teacher_info.seg_logits, axis=-1)
         ent = -jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)
         ent = ent / jnp.log(num_classes)
         confidence = jnp.mean((1.0 - ent) * teacher_info.max_prob,
                               axis=(1, 2))
+        fresh_argmax = jnp.argmax(probs, axis=-1).astype(
+            teacher_info.hard_label.dtype)
         imgs, new_labels, new_probs = mixes.cutmix_label_adaptive(
-            k[3], imgs, jnp.where(labels == 255,
-                                  teacher_info.hard_label, labels),
+            k[3], raw_imgs, fresh_argmax,
             teacher_info.max_prob, sup_imgs, sup_gts, confidence)
         labels = jnp.where(new_probs < cfg.unsup_confidence, 255, new_labels)
     if cfg.use_PatchShuffle:
@@ -214,6 +220,11 @@ def make_semi_train_step(model,
                    rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
         logs: Dict[str, Array] = {}
         r_ema, r_sup, r_mix, r_drop, r_fdrop = jax.random.split(rng, 5)
+        # independent dropout masks per student forward (the reference's
+        # torch Dropout draws fresh per call; reusing one key would give
+        # identical masks across the sup / PASA / fdrop / final passes)
+        r_drop_sup, r_drop_pasa, r_drop_fd, r_drop_final, r_drop_ncr = (
+            jax.random.fold_in(r_drop, i) for i in range(5))
 
         # ---- 1. EMA update BEFORE forwards (encoder_decoder.py:416-423)
         ema_params = state.ema_params
@@ -239,6 +250,27 @@ def make_semi_train_step(model,
 
         has_unsup = 'unsup_teacher_img' in batch and cfg.unsup_weight != 0
         has_unimatch = cfg.unimatch and 'unsup_teacher_mix_img' in batch
+        ncr_sup = (cfg.negative_class_ranking and
+                   cfg.negative_class_ranking_mode in ('sup_only', 'both'))
+
+        # ---- sup strong mixes (encoder_decoder.py:429-434) — pure data
+        # augmentation, applied BEFORE the unsup branch so the mixed sup
+        # images/labels feed mix_with_labeled / cutmix_adaptive exactly
+        # like the reference's reassigned locals (:488, :584-594).
+        sup_img, sup_gt = batch['sup_img'], batch['sup_gt']
+        if cfg.sup_cutmix or cfg.sup_ClassMix:
+            kg, kf = jax.random.split(r_sup)
+            if cfg.sup_cutmix:
+                gate = jax.random.bernoulli(kg, cfg.strong_aug_prob)
+                mi, ml = mixes.sup_cutmix(kf, sup_img, sup_gt)
+            else:
+                gate = jax.random.bernoulli(kg, 0.5)
+                mi, ml = mixes.classmix(kf, sup_img, sup_gt, num_classes)
+            sup_img = jnp.where(gate, mi, sup_img)
+            sup_gt = jnp.where(gate, ml, sup_gt)
+        # strong labeled view: feeds the sup-NCR student pass and replaces
+        # sup imgs in the unsup mixes when present (:451, :490-492)
+        sup_student_img = batch.get('sup_student_img', sup_img)
 
         # ---- 2. teacher pseudo-labels (no grad, eval mode; :516-542)
         teacher = None
@@ -280,12 +312,24 @@ def make_semi_train_step(model,
                     t_mix_logits, cfg.unsup_confidence,
                     cfg.unsup_temperature, cfg.unsup_soft)
             else:
+                bu = batch['unsup_student_img'].shape[0]
                 mixed_imgs, mixed_labels, perm = apply_strong_mixes(
                     cfg, r_mix, batch['unsup_student_img'],
                     teacher.hard_label, teacher,
-                    batch['sup_img'][:batch['unsup_student_img'].shape[0]],
-                    batch['sup_gt'][:batch['unsup_student_img'].shape[0]],
+                    sup_student_img[:bu], sup_gt[:bu],
                     num_classes)
+
+        # ---- 2b. EMA pass on WEAK labeled images — shared by the sup-NCR
+        # teacher (:447-449) and sup_ema distillation (:477-480). Uses the
+        # ORIGINAL (un-cutmixed) sup images like the reference's
+        # data_groups['sup']['img'].
+        sup_ema_logits = None
+        if ncr_sup or cfg.sup_ema:
+            e_vars = {'params': ema_params if cfg.ema else state.params,
+                      'batch_stats': ema_bs if cfg.ema else state.batch_stats}
+            sup_ema_logits = jax.lax.stop_gradient(model.apply(
+                e_vars, method='forward_decode_from_img',
+                img=batch['sup_img'], train=False))
 
         # ---- 3. differentiable student losses
         def loss_fn(params):
@@ -293,30 +337,59 @@ def make_semi_train_step(model,
             losses: Dict[str, Array] = {}
             variables = {'params': params, 'batch_stats': bs}
 
-            sup_img, sup_gt = batch['sup_img'], batch['sup_gt']
-            if cfg.sup_cutmix or cfg.sup_ClassMix:
-                kg, kf = jax.random.split(r_sup)
-                if cfg.sup_cutmix:
-                    gate = jax.random.bernoulli(kg, cfg.strong_aug_prob)
-                    mi, ml = mixes.sup_cutmix(kf, sup_img, sup_gt)
-                else:
-                    gate = jax.random.bernoulli(kg, 0.5)
-                    mi, ml = mixes.classmix(kf, sup_img, sup_gt, num_classes)
-                sup_img = jnp.where(gate, mi, sup_img)
-                sup_gt = jnp.where(gate, ml, sup_gt)
-
-            sup_losses, bs = _sup_losses(
+            sup_losses, bs, sup_main_logits = _sup_losses(
                 model, main_loss, aux_losses, variables, sup_img, sup_gt,
-                r_drop)
+                r_drop_sup)
             losses.update(sup_losses)
+
+            if ncr_sup:
+                # Supervised NCR (encoder_decoder.py:443-474): student on
+                # the STRONG labeled view vs the EMA teacher on the weak
+                # view, per-GT-class excluded softmax, KL + pdist ('sup'
+                # mode keeps the reference's double-pdist quirk).
+                stu_sup_logits, upd = model.apply(
+                    {'params': params, 'batch_stats': bs},
+                    mutable=['batch_stats'],
+                    method='forward_decode_from_img',
+                    img=sup_student_img, train=True,
+                    rngs={'dropout': r_drop_ncr})
+                bs = upd['batch_stats']
+                img_hw = sup_student_img.shape[1:3]
+                s_logits = stu_sup_logits
+                t_logits = sup_ema_logits
+                if s_logits.shape[1:3] != img_hw:   # (:453-456)
+                    s_logits = resize_bilinear(s_logits, img_hw, False)
+                    t_logits = resize_bilinear(t_logits, img_hw, False)
+                losses['loss_ncr_sup'] = ncr_loss(
+                    s_logits, t_logits, batch['sup_gt'], num_classes, 'sup')
+
+            if cfg.sup_ema:
+                # sup_ema distillation (:476-487): EMA softmax on the weak
+                # labeled view, NEAREST-resized to GT shape (the reference
+                # ``resize`` default), argmax -> pseudo GT; CE of the
+                # supervised main logits against it. (The reference reuses
+                # whatever ``labeled_features`` holds — which the sup-NCR
+                # branch silently rebinds to the STRONG view; we always use
+                # the supervised pass, documented in PARITY.md.)
+                from s4former_tpu.ops.resize import resize_nearest
+                ema_probs = jax.nn.softmax(
+                    sup_ema_logits.astype(jnp.float32), axis=-1)
+                if ema_probs.shape[1:3] != sup_gt.shape[1:3]:
+                    ema_probs = resize_nearest(ema_probs, sup_gt.shape[1:3])
+                ema_labels = jnp.argmax(ema_probs, axis=-1).astype(jnp.int32)
+                losses['loss_decode_sup_ema'] = main_loss(
+                    sup_main_logits, ema_labels)
 
             if has_unsup and has_unimatch:
                 # UniMatch dual-stream branch (encoder_decoder.py:689-830)
                 from s4former_tpu.semi.unimatch import unimatch_unsup_losses
-                bs_box = {'bs': bs}
+                bs_box = {'bs': bs, 'n': 0}
 
                 def apply_decode(img, attn_bias=None, use_fdrop=False,
                                  patchmix_perm=None, patchmix_n=0):
+                    # fresh dropout mask per forward (reference torch
+                    # semantics); counter-folded off the step key
+                    bs_box['n'] += 1
                     out, upd = model.apply(
                         {'params': params, 'batch_stats': bs_box['bs']},
                         mutable=['batch_stats'],
@@ -324,7 +397,9 @@ def make_semi_train_step(model,
                         train=True, attn_bias=attn_bias,
                         pos_mode=cfg.pos_mode, use_fdrop=use_fdrop,
                         patchmix_perm=patchmix_perm, patchmix_n=patchmix_n,
-                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                        rngs={'dropout': jax.random.fold_in(r_drop_final,
+                                                            bs_box['n']),
+                              'fdrop': r_fdrop})
                     bs_box['bs'] = upd['batch_stats']
                     return out
 
@@ -368,14 +443,17 @@ def make_semi_train_step(model,
                     method='forward_decode_from_img', img=imgs2,
                     train=True, attn_bias=bias2, pos_mode=cfg.pos_mode,
                     patchmix_perm=perm2, patchmix_n=n2,
-                    rngs={'dropout': r_drop})
+                    rngs={'dropout': r_drop_final})
                 bs = upd['batch_stats']
                 pasa_logits = logits2[:bu]
                 stu_logits = logits2[bu:]
                 unsup['loss_seg_unsup_attn_mask'] = 0.5 * pseudo_ce_loss(
                     pasa_logits, teacher.hard_label)
+                soft_conf = (teacher.conf_mask
+                             if cfg.unsup_confidence != 0 else None)
                 main_pseudo = (soft_pseudo_ce_loss(stu_logits,
-                                                   teacher.soft_label)
+                                                   teacher.soft_label,
+                                                   soft_conf)
                                if cfg.unsup_soft else
                                pseudo_ce_loss(stu_logits, mixed_labels))
                 unsup['loss_seg_unsup'] = main_pseudo * cfg.fdrop_loss_weight
@@ -401,7 +479,7 @@ def make_semi_train_step(model,
                         img=batch['unsup_student_img'], train=True,
                         attn_bias=pasa_bias, pos_mode=cfg.pos_mode,
                         use_fdrop=cfg.attn_mask_w_fdrop,
-                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                        rngs={'dropout': r_drop_pasa, 'fdrop': r_fdrop})
                     bs = upd['batch_stats']
                     unsup['loss_seg_unsup_attn_mask'] = 0.5 * pseudo_ce_loss(
                         pasa_logits, teacher.hard_label)
@@ -412,7 +490,7 @@ def make_semi_train_step(model,
                         method='forward_decode_from_img',
                         img=batch['unsup_student_img'], train=True,
                         pos_mode=cfg.pos_mode, use_fdrop=True,
-                        rngs={'dropout': r_drop, 'fdrop': r_fdrop})
+                        rngs={'dropout': r_drop_fd, 'fdrop': r_fdrop})
                     bs = upd['batch_stats']
                     unsup['loss_seg_unsup_fdrop'] = 0.5 * pseudo_ce_loss(
                         fdrop_logits, teacher.hard_label)
@@ -428,12 +506,14 @@ def make_semi_train_step(model,
                     attn_bias=inline_bias, pos_mode=cfg.pos_mode,
                     patchmix_perm=perm,
                     patchmix_n=cfg.PatchMix_N if perm is not None else 0,
-                    rngs={'dropout': r_drop})
+                    rngs={'dropout': r_drop_final})
                 bs = upd['batch_stats']
 
                 if cfg.unsup_soft:
                     main_pseudo = soft_pseudo_ce_loss(
-                        stu_logits, teacher.soft_label)
+                        stu_logits, teacher.soft_label,
+                        teacher.conf_mask
+                        if cfg.unsup_confidence != 0 else None)
                 else:
                     main_pseudo = pseudo_ce_loss(stu_logits, mixed_labels)
 

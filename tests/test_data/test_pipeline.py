@@ -135,11 +135,15 @@ def test_sampler_covers_and_reshuffles():
     s = SemiBalanceSampler(num_sup=3, num_unsup=10, sup_per_batch=2,
                            unsup_per_batch=4, seed=0, max_iter_size=6)
     seen_sup = []
-    for sup_idx, unsup_idx in s:
+    for sup_idx, unsup_idx, mix_idx in s:
         assert len(sup_idx) == 2 and len(unsup_idx) == 4
+        assert mix_idx == []
         seen_sup.extend(sup_idx)
     # the small sup pool is recycled: each of the 3 indices appears
     assert set(seen_sup) == {0, 1, 2}
+    # re-iterating advances the epoch -> a different shuffle
+    second = [tuple(si) for si, _, _ in s]
+    assert s.epoch == 2 and len(second) == 6
 
 
 def test_pmd_preserves_dtype_and_range():

@@ -1,17 +1,16 @@
-"""Flash-attention kernel vs XLA reference (interpret mode on CPU).
+"""Flash-attention kernel vs XLA reference.
 
-On real TPU the same asserts run compiled (tests are cheap to re-run on
-hardware via run_tests.sh with the TPU backend).
+``flash_attention(interpret=None)`` auto-enables the Pallas interpreter on
+non-TPU backends, so BOTH the forward and the custom-VJP backward kernels
+execute for real here (on the CPU test mesh) and compiled on TPU.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.pallas import tpu as pltpu
 
 from s4former_tpu.ops.attention import dot_product_attention
+from s4former_tpu.ops.flash_attention import flash_attention
 
 B, L, H, D = 2, 256, 4, 64
 
@@ -31,9 +30,7 @@ def qkvb():
 
 
 def _flash(q, k, v, bias):
-    from s4former_tpu.ops.flash_attention import flash_attention
-    with pltpu.force_tpu_interpret_mode():
-        return flash_attention(q, k, v, bias, blk_q=128, blk_k=128)
+    return flash_attention(q, k, v, bias, blk_q=128, blk_k=128)
 
 
 @pytest.mark.slow
@@ -57,8 +54,11 @@ def test_forward_no_bias_and_padding(qkvb):
 
 
 @pytest.mark.slow
-def test_backward_matches_xla(qkvb):
+@pytest.mark.parametrize('with_bias', [True, False],
+                         ids=['pasa_bias', 'no_bias'])
+def test_backward_matches_xla(qkvb, with_bias):
     q, k, v, bias = qkvb
+    bias = bias if with_bias else None
 
     def loss_flash(q, k, v):
         return jnp.sum(_flash(q, k, v, bias) ** 2)
@@ -73,3 +73,40 @@ def test_backward_matches_xla(qkvb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3,
                                    err_msg=f'd{name}')
+
+
+@pytest.mark.slow
+def test_backward_odd_length(qkvb):
+    """Gradients through the padded/masked path (L not a block multiple)."""
+    q, k, v, _ = qkvb
+    q2, k2, v2 = q[:, :130], k[:, :130], v[:, :130]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash(q, k, v, None) ** 2)
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, None)
+        return jnp.sum(out ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q2, k2, v2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f'd{name}')
+
+
+def test_differentiable_bias_raises(qkvb):
+    """Guard: the flash path's bias is non-differentiable BY CONSTRUCTION
+    (closed over the custom_vjp). A learnable-sigma config that routes a
+    differentiable bias through the kernel must fail loudly, not train
+    with silent zero gradients (the learnable-sigma ablation uses the
+    XLA path)."""
+    q, k, v, bias = qkvb
+
+    def loss(b):
+        return jnp.sum(_flash(q, k, v, b) ** 2)
+
+    with pytest.raises(Exception,
+                       match='(?i)custom_vjp|closed-over|tracer'):
+        jax.grad(loss)(bias)

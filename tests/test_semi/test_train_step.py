@@ -130,3 +130,60 @@ def test_loss_decreases_supervised():
         if first is None:
             first = float(logs['decode.loss_ce'])
     assert float(logs['decode.loss_ce']) < first
+
+
+def _make_step(cfg, ema=True, **kw):
+    model = build_segmentor(TINY_MODEL)
+    variables = init_segmentor_variables(
+        model, jax.random.PRNGKey(0), (2, 64, 64, 3))
+    state = create_train_state(variables, ema=ema)
+    step = jax.jit(make_semi_train_step(model, cfg, num_classes=5,
+                                        base_lr=0.01, max_iters=100, **kw))
+    return step, state
+
+
+@pytest.mark.parametrize('mode', ['sup_only', 'both'])
+def test_sup_ncr_modes(mode):
+    """Sup-branch NCR (reference encoder_decoder.py:443-474): student on
+    the strong labeled view vs EMA teacher on the weak view. 'sup_only' is
+    the reference constructor DEFAULT — enabling negative_class_ranking
+    must produce loss_ncr_sup, not silently nothing."""
+    cfg = SemiConfig(ema=True, ema_momentum=0.99, unsup_weight=1.0,
+                     unsup_confidence=0.95, negative_class_ranking=True,
+                     negative_class_ranking_mode=mode)
+    step, state = _make_step(cfg)
+    batch = _batch()
+    batch['sup_student_img'] = batch['sup_img'] + 0.1
+    _, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert 'loss_ncr_sup' in logs
+    assert np.isfinite(float(logs['loss_ncr_sup']))
+    assert float(logs['loss_ncr_sup']) >= 0
+    if mode == 'both':
+        assert 'unsup.loss_ncr_unsup' in logs
+        assert np.isfinite(float(logs['unsup.loss_ncr_unsup']))
+    else:
+        assert 'unsup.loss_ncr_unsup' not in logs
+
+
+def test_sup_ncr_without_strong_view_falls_back():
+    """Without a sup_student stream the weak view is reused (documented
+    fallback) — the loss must still appear and be finite."""
+    cfg = SemiConfig(ema=True, unsup_weight=0.0,
+                     negative_class_ranking=True,
+                     negative_class_ranking_mode='sup_only')
+    step, state = _make_step(cfg)
+    batch = {k: v for k, v in _batch().items() if k.startswith('sup')}
+    _, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs['loss_ncr_sup']))
+
+
+def test_sup_ema_distillation():
+    """sup_ema (reference :476-487): CE of the supervised logits against
+    the EMA teacher's argmax labels on the weak labeled view."""
+    cfg = SemiConfig(ema=True, sup_ema=True, unsup_weight=0.0)
+    step, state = _make_step(cfg)
+    batch = {k: v for k, v in _batch().items() if k.startswith('sup')}
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert 'loss_decode_sup_ema' in logs
+    assert np.isfinite(float(logs['loss_decode_sup_ema']))
+    assert int(new_state.step) == 1
