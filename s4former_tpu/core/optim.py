@@ -16,7 +16,7 @@ the hot path — the update is one fused tree_map).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,70 @@ def build_lr_mult_tree(params: Pytree,
     return jax.tree_util.tree_unflatten(treedef, mults)
 
 
+def _leaf_paths(params: Pytree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    names = ['/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                      for p in path) for path, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    return names, leaves, treedef
+
+
+def build_layer_decay_trees(params: Pytree, num_layers: int,
+                            decay_rate: float,
+                            decay_type: str = 'layer_wise',
+                            backbone_prefix: str = 'backbone',
+                            stacked_key: str = 'layers'
+                            ) -> Tuple[Pytree, Pytree]:
+    """Layer-wise LR decay (reference
+    core/optimizers/layer_decay_optimizer_constructor.py:103-189,
+    get_layer_id_for_vit:79-100), mapped onto the stacked-scan layout:
+
+    - embeddings (pos_embed/cls_token/mask_token/patch_embed): layer 0 ->
+      lr scale = decay_rate**(num_layers + 1);
+    - transformer block i: layer i+1 -> scale = decay_rate**(num_layers-i).
+      The blocks live as ONE nn.scan stack (params[...]['layers'] leaves
+      with leading [L] axis), so the multiplier is a PER-LAYER VECTOR
+      broadcast over that axis — the whole schedule stays one fused
+      tree_map instead of the reference's 14 param groups;
+    - everything else (decode heads, necks): scale = 1.0.
+
+    Also returns the reference's weight-decay grouping (:131-137): 1-D
+    params, biases, LN scales, pos_embed and cls_token get wd multiplier
+    0, everything else 1.
+
+    Returns (lr_mults, wd_mults) pytrees; lr mult leaves are scalars or
+    [L,1,...]-shaped arrays ready to broadcast in ``sgd_update``.
+    """
+    if decay_type != 'layer_wise':
+        raise NotImplementedError(
+            f'decay_type={decay_type!r}: stage_wise is ConvNeXt-only in '
+            'the reference and no ConvNeXt backbone is shipped')
+    names, leaves, treedef = _leaf_paths(params)
+    # reference: num_layers_eff = num_layers + 2; scale(layer_id) =
+    # decay_rate ** (num_layers_eff - layer_id - 1)
+    per_layer = jnp.asarray(
+        [decay_rate ** (num_layers - i) for i in range(num_layers)],
+        jnp.float32)
+    lr_mults, wd_mults = [], []
+    for name, leaf in zip(names, leaves):
+        base = name.rsplit('/', 1)[-1]
+        in_backbone = name.startswith(backbone_prefix)
+        if in_backbone and f'/{stacked_key}/' in name and \
+                leaf.shape[:1] == (num_layers,):
+            mult = per_layer.reshape((num_layers,) + (1,) * (leaf.ndim - 1))
+        elif in_backbone and any(k in name for k in (
+                'pos_embed', 'cls_token', 'mask_token', 'patch_embed')):
+            mult = decay_rate ** (num_layers + 1)
+        else:
+            mult = 1.0
+        lr_mults.append(mult)
+        no_decay = (leaf.ndim == 1 or base == 'bias' or base == 'scale' or
+                    any(k in name for k in ('pos_embed', 'cls_token')))
+        wd_mults.append(0.0 if no_decay else 1.0)
+    return (jax.tree_util.tree_unflatten(treedef, lr_mults),
+            jax.tree_util.tree_unflatten(treedef, wd_mults))
+
+
 def sgd_init(params: Pytree) -> Pytree:
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
@@ -62,17 +126,26 @@ def sgd_init(params: Pytree) -> Pytree:
 def sgd_update(params: Pytree, grads: Pytree, momentum_buf: Pytree,
                lr: jax.Array, lr_mults: Pytree,
                momentum: float = 0.9,
-               weight_decay: float = 0.0) -> Tuple[Pytree, Pytree]:
-    """One torch-style SGD step. Returns (new_params, new_momentum_buf)."""
-    def upd(p, g, buf, mult):
+               weight_decay: float = 0.0,
+               wd_mults: Optional[Pytree] = None) -> Tuple[Pytree, Pytree]:
+    """One torch-style SGD step. Returns (new_params, new_momentum_buf).
+
+    ``lr_mults`` leaves may be scalars or arrays broadcasting against the
+    leaf (per-layer vectors for the stacked scan). ``wd_mults`` optionally
+    scales weight decay per leaf (0 = no_decay group)."""
+    if wd_mults is None:
+        wd_mults = jax.tree_util.tree_map(lambda _: 1.0, params)
+
+    def upd(p, g, buf, mult, wdm):
         g = g.astype(jnp.float32)
         if weight_decay:
-            g = g + weight_decay * p.astype(jnp.float32)
+            g = g + (weight_decay * wdm) * p.astype(jnp.float32)
         buf = momentum * buf + g
         new_p = p - (lr * mult) * buf
         return new_p.astype(p.dtype), buf
 
-    out = jax.tree_util.tree_map(upd, params, grads, momentum_buf, lr_mults)
+    out = jax.tree_util.tree_map(upd, params, grads, momentum_buf, lr_mults,
+                                 wd_mults)
     new_params = jax.tree_util.tree_map(
         lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
     new_buf = jax.tree_util.tree_map(

@@ -38,7 +38,7 @@ class IterBasedRunner:
                  seed: int = 0,
                  logger: Optional[logging.Logger] = None):
         # donate the state: params/momentum/EMA trees update in place on
-        # device instead of allocating fresh buffers每 step
+        # device instead of allocating fresh buffers every step
         self.train_step = jax.jit(train_step, donate_argnums=0)
         self.state = state
         self.loader = loader
@@ -78,7 +78,10 @@ class IterBasedRunner:
                                                    step_rng)
                 it += 1
                 if it % self.log_interval == 0:
-                    jax.block_until_ready(logs['loss'])
+                    # this runtime's block_until_ready does NOT wait for
+                    # device execution (CLAUDE.md); the float() pulls below
+                    # are the real synchronization for the it/s window
+                    float(logs['loss'])
                     dt = time.perf_counter() - t_window
                     t_window = time.perf_counter()
                     msg = ', '.join(
@@ -131,51 +134,76 @@ class _NullCtx:
         return False
 
 
+def _pad_to_bucket(img: np.ndarray, bucket: int):
+    """Round H and W up to multiples of ``bucket``. Bounds the number of
+    distinct compiled shapes over a variable-size val set (XLA compiles
+    once per shape; VOC val has hundreds of distinct keep-ratio shapes).
+    Returns (padded, (h, w) valid size)."""
+    h, w = img.shape[1:3]
+    ph = -(-h // bucket) * bucket
+    pw = -(-w // bucket) * bucket
+    if (ph, pw) != (h, w):
+        img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    return img, (h, w)
+
+
 def make_eval_fn(model, dataset, batch_size: int = 1,
                  mode: str = 'whole', crop_size=(512, 512),
-                 stride=(341, 341), mesh=None):
+                 stride=(341, 341), mesh=None, shape_bucket: int = 256):
     """Build an eval closure: state -> metrics dict.
 
     Streams the val set through whole/slide inference, accumulating
     per-image confusion histograms (the reference's pre_eval path,
     custom.py:302 + eval_hooks.py) — final reduction is one numpy sum.
+
+    Reference semantics (encoder_decoder.py:1118-1172): LOGITS are
+    bilinearly resized to each image's ``ori_shape`` BEFORE argmax (a
+    nearest resize of the argmax'd prediction biases boundaries). The
+    variable-shape resize runs host-side (``resize_bilinear_np``, same
+    2-tap weights); the device program sees only ``shape_bucket``-rounded
+    padded shapes, so a whole val epoch costs a handful of compiles
+    (``eval_fn.compiled_shapes`` records them). Divergence (documented):
+    the reference runs each exact image shape, so our zero-padded border
+    pixels can shift features near the right/bottom edges of non-bucket
+    images; the valid region is sliced before resize.
     """
-    from s4former_tpu.models.segmentors.inference import inference
+    from s4former_tpu.models.segmentors.inference import (slide_inference,
+                                                          whole_inference)
+    from s4former_tpu.ops.resize import resize_bilinear_np
 
     n_cls = len(dataset.CLASSES)
+    align = getattr(model, 'align_corners', False)
 
     @jax.jit
-    def _predict(variables, img):
-        probs = inference(
-            lambda x: model.apply(variables, x, train=False),
-            img, n_cls, mode=mode, crop_size=crop_size, stride=stride)
-        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    def _logits(variables, img):
+        apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa
+        if mode == 'slide':
+            return slide_inference(apply_fn, img, n_cls, crop_size, stride)
+        return whole_inference(apply_fn, img)
+
+    compiled_shapes = set()
 
     def eval_fn(state):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
-
-        def predict(img):
-            return _predict(variables, img)
-
         pre_eval_results = []
         for idx in range(len(dataset)):
             item = dataset.get_item_deterministic(idx, seed=0)
             if isinstance(item, list):  # MultiScaleFlipAug single scale
                 item = item[0]
             img = np.asarray(item['img'], np.float32)[None]
-            pred = np.asarray(predict(img))[0]
-            # resize pred to gt shape if pipeline rescaled
+            img, (vh, vw) = _pad_to_bucket(img, shape_bucket)
+            compiled_shapes.add(img.shape)
+            logits = np.asarray(_logits(variables, img))[0, :vh, :vw]
             gt = dataset.get_gt_seg_map(idx)
-            if pred.shape != gt.shape:
-                from PIL import Image
-                pred = np.asarray(Image.fromarray(
-                    pred.astype(np.uint8)).resize(
-                        (gt.shape[1], gt.shape[0]), Image.NEAREST))
+            if logits.shape[:2] != gt.shape:
+                logits = resize_bilinear_np(logits, gt.shape, align)
+            pred = np.argmax(logits, axis=-1).astype(np.int32)
             pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
         tables = pre_eval_to_metrics(pre_eval_results, ('mIoU',))
         return {'aAcc': float(tables['aAcc']),
                 'mIoU': float(np.nanmean(tables['IoU'])),
                 'mAcc': float(np.nanmean(tables['Acc']))}
 
+    eval_fn.compiled_shapes = compiled_shapes
     return eval_fn

@@ -213,17 +213,114 @@ class CityscapesDataset(CustomDataset):
                [0, 0, 70], [0, 60, 100], [0, 80, 100], [0, 0, 230],
                [119, 11, 32]]
 
+    # trainId -> labelId (cityscapesscripts.helpers.labels); hardcoded so
+    # format_results works without the optional dependency
+    TRAINID2LABELID = (7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25,
+                       26, 27, 28, 31, 32, 33)
+
     def __init__(self, **kwargs):
         kwargs.setdefault('img_suffix', '_leftImg8bit.png')
         kwargs.setdefault('seg_map_suffix', '_gtFine_labelTrainIds.png')
         super().__init__(**kwargs)
 
+    def _convert_to_label_id(self, result):
+        """trainId map -> labelId map for server submission
+        (ref cityscapes.py:36-47)."""
+        import numpy as np
+        out = np.full_like(result, 0)
+        for train_id, label_id in enumerate(self.TRAINID2LABELID):
+            out[result == train_id] = label_id
+        return out
+
+    def results2img(self, results, imgfile_prefix, to_label_id=True,
+                    indices=None):
+        """Write predictions as paletted PNGs in the official layout
+        (ref cityscapes.py:49-93). Uses cityscapesscripts' palette when
+        installed, the trainId palette otherwise."""
+        import os
+        import os.path as osp
+        import numpy as np
+        from PIL import Image
+        if indices is None:
+            indices = list(range(len(self)))
+        os.makedirs(imgfile_prefix, exist_ok=True)
+        try:
+            import cityscapesscripts.helpers.labels as CSLabels
+            palette = np.zeros((len(CSLabels.id2label), 3), np.uint8)
+            for label_id, label in CSLabels.id2label.items():
+                palette[label_id] = label.color
+        except ImportError:
+            palette = np.zeros((max(self.TRAINID2LABELID) + 1, 3), np.uint8)
+            for tid, lid in enumerate(self.TRAINID2LABELID):
+                palette[lid] = self.PALETTE[tid]
+        files = []
+        for result, idx in zip(results, indices):
+            if to_label_id:
+                result = self._convert_to_label_id(np.asarray(result))
+            base = osp.splitext(osp.basename(
+                self.img_infos[idx]['filename']))[0]
+            png = osp.join(imgfile_prefix, f'{base}.png')
+            out = Image.fromarray(result.astype(np.uint8)).convert('P')
+            out.putpalette(palette.reshape(-1).tolist())
+            out.save(png)
+            files.append(png)
+        return files
+
+    def format_results(self, results, imgfile_prefix, to_label_id=True,
+                       indices=None):
+        """(ref cityscapes.py:95-128): materialize submission PNGs."""
+        return self.results2img(results, imgfile_prefix, to_label_id,
+                                indices)
+
+    def evaluate(self, results, metric='mIoU', logger=None,
+                 imgfile_prefix=None, **kwargs):
+        """'cityscapes' metric routes to the official cityscapesscripts
+        evaluator when installed (ref cityscapes.py:130-169); other
+        metrics use the built-in histogram mIoU."""
+        metrics = list(metric) if isinstance(metric, (list, tuple)) \
+            else [metric]
+        out = {}
+        if 'cityscapes' in metrics:
+            out.update(self._evaluate_cityscapes(results, imgfile_prefix))
+            metrics.remove('cityscapes')
+        if metrics:
+            out.update(super().evaluate(results, metrics, logger=logger,
+                                        **kwargs))
+        return out
+
+    def _evaluate_cityscapes(self, results, imgfile_prefix):
+        import os.path as osp
+        try:
+            import cityscapesscripts.evaluation. \
+                evalPixelLevelSemanticLabeling as CSEval
+        except ImportError as e:
+            raise ImportError(
+                'the "cityscapes" metric needs cityscapesscripts '
+                '(pip install cityscapesscripts)') from e
+        result_dir = imgfile_prefix or 'cityscapes_eval_tmp'
+        self.format_results(results, result_dir)
+        CSEval.args.evalInstLevelScore = True
+        CSEval.args.predictionPath = osp.abspath(result_dir)
+        CSEval.args.evalPixelAccuracy = True
+        CSEval.args.JSONOutput = False
+        seg_maps, preds = [], []
+        import glob
+        for seg_map in sorted(glob.glob(osp.join(
+                self.ann_dir, '**', '*gtFine_labelIds.png'),
+                recursive=True)):
+            seg_maps.append(seg_map)
+            preds.append(CSEval.getPrediction(CSEval.args, seg_map))
+        return dict(CSEval.evaluateImgLists(preds, seg_maps, CSEval.args))
+
 
 @DATASETS.register_module()
 class ADE20KDataset(CustomDataset):
-    """(ade.py): 150 classes, reduce_zero_label."""
+    """(ade.py): 150 classes, reduce_zero_label. Full class/palette tables
+    from core.class_names (ref class_names.py:15-43,152-193)."""
 
-    CLASSES = tuple(f'class_{i}' for i in range(150))  # names trimmed
+    from s4former_tpu.core.class_names import ade_classes, ade_palette
+    CLASSES = tuple(ade_classes())
+    PALETTE = ade_palette()
 
     def __init__(self, **kwargs):
         kwargs.setdefault('img_suffix', '.jpg')
@@ -256,8 +353,12 @@ def build_dataset(cfg: dict):
 
 @DATASETS.register_module()
 class COCOStuffDataset(CustomDataset):
-    """(coco_stuff.py): 171 classes."""
-    CLASSES = tuple(f'class_{i}' for i in range(171))
+    """(coco_stuff.py): 171 classes (full tables,
+    ref class_names.py:55-89,222-267)."""
+    from s4former_tpu.core.class_names import (cocostuff_classes,
+                                               cocostuff_palette)
+    CLASSES = tuple(cocostuff_classes())
+    PALETTE = cocostuff_palette()
 
     def __init__(self, **kwargs):
         kwargs.setdefault('img_suffix', '.jpg')
@@ -309,6 +410,44 @@ class UniSemiDataset(SemiDataset):
     def __len__(self):
         n = super().__len__()
         return n + (len(self.unsup2) if self.unsup2 else 0)
+
+
+@DATASETS.register_module()
+class MultiImageMixDataset:
+    """(dataset_wrappers.py:195-277): wrapper running a pipeline where
+    transforms exposing ``get_indexes`` (e.g. RandomMosaic) receive extra
+    dataset items as ``results['mix_results']``."""
+
+    def __init__(self, dataset, pipeline, skip_type_keys=None):
+        import copy as _copy
+        from s4former_tpu.registry import PIPELINES
+        self._copy = _copy
+        self.dataset = DATASETS.build(dict(dataset)) \
+            if isinstance(dataset, dict) else dataset
+        self._skip_type_keys = skip_type_keys
+        self.pipeline = []
+        self.pipeline_types = []
+        for t in pipeline:
+            self.pipeline_types.append(t['type'])
+            self.pipeline.append(PIPELINES.build(dict(t)))
+        self.CLASSES = self.dataset.CLASSES
+        self.PALETTE = getattr(self.dataset, 'PALETTE', None)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        results = self._copy.deepcopy(self.dataset[idx])
+        for transform, ttype in zip(self.pipeline, self.pipeline_types):
+            if self._skip_type_keys and ttype in self._skip_type_keys:
+                continue
+            if hasattr(transform, 'get_indexes'):
+                indexes = transform.get_indexes(self.dataset)
+                results['mix_results'] = [
+                    self._copy.deepcopy(self.dataset[i]) for i in indexes]
+            results = transform(results)
+            results.pop('mix_results', None)
+        return results
 
 
 @DATASETS.register_module()

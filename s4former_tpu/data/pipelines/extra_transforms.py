@@ -127,29 +127,152 @@ class RandomRotate:
 
 @PIPELINES.register_module()
 class RandomMosaic:
-    """(transforms.py:1378): 2x2 mosaic of the sample with itself under
-    random shifts (single-image variant: the reference composes 4 dataset
-    items via a wrapper; here we approximate in-place for API presence)."""
+    """(transforms.py:1378-1543): combine the sample with 3 extra dataset
+    items (provided as ``results['mix_results']`` by MultiImageMixDataset)
+    into a 2*img_scale mosaic around a random center. Requires the wrapper;
+    raises if ``mix_results`` is absent so a misconfigured pipeline fails
+    loudly instead of silently no-op'ing."""
 
-    def __init__(self, prob: float = 0.5, img_scale=(640, 640),
+    def __init__(self, prob: float, img_scale=(640, 640),
                  center_ratio_range=(0.5, 1.5), pad_val=0, seg_pad_val=255):
+        assert 0 <= prob <= 1
         self.prob = prob
+        self.img_scale = tuple(img_scale)   # (h, w) of one quadrant
+        self.center_ratio_range = center_ratio_range
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def get_indexes(self, dataset):
+        """3 random companion indices (transforms.py:1450-1459; the
+        reference's randint(0, len) is inclusive — an off-by-one able to
+        raise IndexError — not replicated)."""
+        import random
+        return [random.randint(0, len(dataset) - 1) for _ in range(3)]
+
+    def _paste_crop(self, loc, center_xy, wh):
+        """Paste/crop coords per quadrant (transforms.py:1571-1634)."""
+        cx, cy = center_xy
+        w, h = wh
+        W2, H2 = self.img_scale[1] * 2, self.img_scale[0] * 2
+        if loc == 'top_left':
+            x1, y1, x2, y2 = max(cx - w, 0), max(cy - h, 0), cx, cy
+            crop = (w - (x2 - x1), h - (y2 - y1), w, h)
+        elif loc == 'top_right':
+            x1, y1, x2, y2 = cx, max(cy - h, 0), min(cx + w, W2), cy
+            crop = (0, h - (y2 - y1), min(w, x2 - x1), h)
+        elif loc == 'bottom_left':
+            x1, y1, x2, y2 = max(cx - w, 0), cy, cx, min(H2, cy + h)
+            crop = (w - (x2 - x1), 0, w, min(y2 - y1, h))
+        else:
+            x1, y1, x2, y2 = cx, cy, min(cx + w, W2), min(H2, cy + h)
+            crop = (0, 0, min(w, x2 - x1), min(y2 - y1, h))
+        return (x1, y1, x2, y2), crop
 
     def __call__(self, results):
-        return results  # placeholder: requires multi-image indexing
+        rng = _rng(results)
+        if float(rng.uniform()) >= self.prob:
+            return results
+        if 'mix_results' not in results:
+            raise KeyError(
+                'RandomMosaic needs results["mix_results"] — wrap the '
+                'dataset in MultiImageMixDataset (reference '
+                'dataset_wrappers.py:195)')
+        from s4former_tpu.data.pipelines.transforms import _pil_resize
+        hq, wq = self.img_scale
+        cx = int(rng.uniform(*self.center_ratio_range) * wq)
+        cy = int(rng.uniform(*self.center_ratio_range) * hq)
+        patches = [results] + list(results['mix_results'])
+        locs = ('top_left', 'top_right', 'bottom_left', 'bottom_right')
+
+        mosaic_img = np.full((hq * 2, wq * 2, 3), self.pad_val,
+                             dtype=results['img'].dtype)
+        scaled = []
+        for patch in patches:
+            img_i = patch['img']
+            h_i, w_i = img_i.shape[:2]
+            s = min(hq / h_i, wq / w_i)   # keep-ratio fit into a quadrant
+            size = (int(w_i * s), int(h_i * s))
+            scaled.append((s, size))
+        for (s, size), patch, loc in zip(scaled, patches, locs):
+            img_i = _pil_resize(patch['img'], size)
+            (x1, y1, x2, y2), (xc1, yc1, xc2, yc2) = self._paste_crop(
+                loc, (cx, cy), size)
+            mosaic_img[y1:y2, x1:x2] = img_i[yc1:yc2, xc1:xc2]
+        results['img'] = mosaic_img
+        results['img_shape'] = mosaic_img.shape
+        results['ori_shape'] = mosaic_img.shape
+
+        for key in results.get('seg_fields', []):
+            mosaic_seg = np.full((hq * 2, wq * 2), self.seg_pad_val,
+                                 dtype=results[key].dtype)
+            for (s, size), patch, loc in zip(scaled, patches, locs):
+                seg_i = _pil_resize(patch[key], size, nearest=True)
+                (x1, y1, x2, y2), (xc1, yc1, xc2, yc2) = self._paste_crop(
+                    loc, (cx, cy), size)
+                mosaic_seg[y1:y2, x1:x2] = seg_i[yc1:yc2, xc1:xc2]
+            results[key] = mosaic_seg
+        return results
 
 
 @PIPELINES.register_module()
 class RandomCropRareRemain:
-    """(transforms.py:876): crop retrying to KEEP rare classes — like
-    RandomCrop but the accept test prefers crops containing classes whose
-    global frequency is low. Simplified: accept a crop if it contains any
-    class beyond the most frequent one."""
+    """(transforms.py:876-957): RandomCrop whose accept test tries to KEEP
+    rare classes. If the full label map contains any of the (hardcoded
+    Cityscapes) rare class ids, retry up to 15 crops until the crop holds
+    more than half of the image's rare classes AND passes cat_max_ratio;
+    otherwise fall back to the plain 10-retry cat_max_ratio loop."""
 
-    def __init__(self, crop_size, cat_max_ratio: float = 0.75,
+    RARE_CLASSES = np.array([16, 15, 14, 17, 3, 12, 4, 6, 9])
+
+    def __init__(self, crop_size, cat_max_ratio: float = 1.0,
                  ignore_index: int = 255):
-        from s4former_tpu.data.pipelines.transforms import RandomCrop
-        self._inner = RandomCrop(crop_size, cat_max_ratio, ignore_index)
+        assert crop_size[0] > 0 and crop_size[1] > 0
+        self.crop_size = tuple(crop_size)
+        self.cat_max_ratio = cat_max_ratio
+        self.ignore_index = ignore_index
+
+    def _bbox(self, rng, shape):
+        mh = max(shape[0] - self.crop_size[0], 0)
+        mw = max(shape[1] - self.crop_size[1], 0)
+        y = int(rng.integers(0, mh + 1))
+        x = int(rng.integers(0, mw + 1))
+        return y, y + self.crop_size[0], x, x + self.crop_size[1]
+
+    @staticmethod
+    def _crop(arr, bbox):
+        y1, y2, x1, x2 = bbox
+        return arr[y1:y2, x1:x2, ...]
 
     def __call__(self, results):
-        return self._inner(results)
+        rng = _rng(results)
+        img = results['img']
+        seg = results['gt_semantic_seg']
+        bbox = self._bbox(rng, img.shape)
+        if self.cat_max_ratio < 1.0:
+            img_rare = np.intersect1d(np.unique(seg), self.RARE_CLASSES)
+            if len(img_rare) > 0:
+                for _ in range(15):
+                    tmp = self._crop(seg, bbox)
+                    labels, cnt = np.unique(tmp, return_counts=True)
+                    cnt = cnt[labels != self.ignore_index]
+                    crop_rare = np.intersect1d(labels, self.RARE_CLASSES)
+                    if len(crop_rare) > 0.5 * len(img_rare) and \
+                            len(cnt) > 1 and \
+                            np.max(cnt) / np.sum(cnt) < self.cat_max_ratio:
+                        break
+                    bbox = self._bbox(rng, img.shape)
+            else:
+                for _ in range(10):
+                    tmp = self._crop(seg, bbox)
+                    labels, cnt = np.unique(tmp, return_counts=True)
+                    cnt = cnt[labels != self.ignore_index]
+                    if len(cnt) > 1 and \
+                            np.max(cnt) / np.sum(cnt) < self.cat_max_ratio:
+                        break
+                    bbox = self._bbox(rng, img.shape)
+        img = self._crop(img, bbox)
+        results['img'] = img
+        results['img_shape'] = img.shape
+        for key in results.get('seg_fields', []):
+            results[key] = self._crop(results[key], bbox)
+        return results

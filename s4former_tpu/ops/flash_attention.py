@@ -335,46 +335,61 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
 
 
 # ================================================================ wrapper
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
            interpret):
-    """custom_vjp over (q, k, v) only. ``bias`` is CLOSED OVER, not an
-    explicit differentiable input: if a caller tries to differentiate
-    through it (e.g. a learnable PASA sigma with use_flash=True), JAX
-    raises a CustomVJPException at trace time instead of silently
-    training the sigma with a zero gradient. The learnable-sigma
-    ablation must use the XLA path (module docstring)."""
+    o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
+                valid_len, interpret)
+    return o
 
-    @jax.custom_vjp
-    def f(q, k, v):
-        o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
-                    valid_len, interpret)
-        return o
 
-    def f_fwd(q, k, v):
-        o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
-                      valid_len, interpret)
-        return o, (q, k, v, o, lse)
+def _flash_fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
+               interpret):
+    o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
+                  valid_len, interpret)
+    return o, (q, k, v, bias, o, lse)
 
-    def f_bwd(residuals, g):
-        qr, kr, vr, o, lse = residuals
-        return _bwd(qr, kr, vr, bias, o, lse, g, num_heads, sm_scale,
-                    blk_q, blk_k, valid_len, interpret)
 
-    f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v)
+def _flash_bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, interpret,
+               residuals, g):
+    q, k, v, bias, o, lse = residuals
+    dq, dk, dv = _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale,
+                      blk_q, blk_k, valid_len, interpret)
+    # bias is non-differentiable BY API CONTRACT: flash_attention applies
+    # stop_gradient to it before this vjp, so the zero cotangent here is
+    # unreachable by live gradients (a differentiable bias must use the
+    # XLA path; flash_attention raises on bias_differentiable=True).
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return (dq, dk, dv, dbias)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q: Array, k: Array, v: Array,
                     bias: Optional[Array] = None,
                     blk_q: int = DEFAULT_BLK_Q,
                     blk_k: Optional[int] = DEFAULT_BLK_K,
-                    interpret: Optional[bool] = None) -> Array:
+                    interpret: Optional[bool] = None,
+                    bias_differentiable: bool = False) -> Array:
     """q, k, v: [B, L, H, D]; bias broadcastable to [B, H, L, L] (head axis
     may be 1). Returns [B, L, H, D]. Pads L to block multiples internally.
-    Bias is non-differentiable (see module docstring); differentiating
-    through it raises. ``interpret=None`` auto-enables the Pallas
-    interpreter off-TPU so both fwd and bwd kernels run (and are tested)
-    on the CPU mesh."""
+
+    The bias is NON-differentiable: stop_gradient is applied to it here
+    (PASA bias comes from stop-gradient'd teacher confidence anyway), and
+    a caller that needs bias gradients (learnable-sigma ablation) must
+    pass ``bias_differentiable=True`` — which raises and directs to the
+    XLA path — rather than silently training with a zero gradient.
+
+    ``interpret=None`` auto-enables the Pallas interpreter off-TPU so both
+    fwd and bwd kernels run (and are tested) on the CPU mesh."""
+    if bias_differentiable:
+        raise NotImplementedError(
+            'flash_attention does not compute bias gradients; use the XLA '
+            'path (ops.attention.dot_product_attention) for a learnable '
+            'attention-bias scale')
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, l, h, d = q.shape

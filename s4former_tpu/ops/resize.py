@@ -108,6 +108,31 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
     return out[0] if squeeze else out
 
 
+def resize_bilinear_np(x, out_hw: Tuple[int, int],
+                       align_corners: bool = False):
+    """Host-side numpy twin of ``resize_bilinear`` (identical 2-tap
+    weights). Used on the eval path to resize LOGITS to each image's
+    variable ``ori_shape`` before argmax (reference whole_inference,
+    encoder_decoder.py:1118-1172) without per-shape device recompiles.
+    x: [H, W, C] or [N, H, W, C] float array."""
+    import numpy as np
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    xf = np.asarray(x, np.float32)
+    if oh != h:
+        lo, hi, wt = _linear_weights(h, oh, align_corners)
+        xf = xf[:, lo] * (1.0 - wt)[None, :, None, None] + \
+            xf[:, hi] * wt[None, :, None, None]
+    if ow != w:
+        lo, hi, wt = _linear_weights(w, ow, align_corners)
+        xf = xf[:, :, lo] * (1.0 - wt)[None, None, :, None] + \
+            xf[:, :, hi] * wt[None, None, :, None]
+    return xf[0] if squeeze else xf
+
+
 def _nearest_indices(in_size: int, out_size: int):
     # torch legacy nearest: src = floor(dst * in/out); float64 on host.
     # numpy out (concrete even under trace); jnp.take accepts it.

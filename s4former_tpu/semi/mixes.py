@@ -151,16 +151,56 @@ def _class_mask(key: jax.Array, label: Array, num_classes: int) -> Array:
     return sel_ext[jnp.clip(label, 0, 255)].astype(jnp.float32)
 
 
+def _patchwise_class_mask(key: jax.Array, label: Array, num_classes: int,
+                          patchsize: int) -> Array:
+    """Per-super-patch class mask (generate_patchwise_class_mask,
+    :491-515): each ``patchsize``-square selects half of ITS present
+    classes independently; 255-pixels are always masked (kept); patches
+    with <=1 non-255 classes select nothing."""
+    h, w = label.shape
+    gh, gw = h // patchsize, w // patchsize
+    patches = label.reshape(gh, patchsize, gw, patchsize) \
+        .transpose(0, 2, 1, 3).reshape(gh * gw, patchsize, patchsize)
+
+    def per_patch(k, patch):
+        flat = patch.reshape(-1)
+        onehot = jax.nn.one_hot(jnp.clip(flat, 0, num_classes),
+                                num_classes + 1, dtype=jnp.int32)
+        onehot = onehot * (flat[:, None] != 255)
+        present = (jnp.sum(onehot, axis=0) > 0)[:num_classes]
+        n = jnp.sum(present.astype(jnp.int32))
+        m = n // 2 + 1
+        scores = jnp.where(present, jax.random.uniform(k, (num_classes,)),
+                           jnp.inf)
+        ranks = jnp.argsort(jnp.argsort(scores))
+        selected = (ranks < m) & present & (n > 1)
+        sel_ext = jnp.concatenate(
+            [selected, jnp.zeros((256 - num_classes,), bool)])
+        return (sel_ext[jnp.clip(patch, 0, 255)] | (patch == 255)
+                ).astype(jnp.float32)
+
+    masks = jax.vmap(per_patch)(jax.random.split(key, gh * gw), patches)
+    return masks.reshape(gh, gw, patchsize, patchsize) \
+        .transpose(0, 2, 1, 3).reshape(h, w)
+
+
 def classmix(key: jax.Array, imgs: Array, labels: Array,
-             num_classes: int) -> Tuple[Array, Array]:
+             num_classes: int, patchwise: bool = False,
+             patchsize: int = 128) -> Tuple[Array, Array]:
     """(generate_unsup_classmix_data, :665-704): keep pixels of the selected
-    classes of sample i, fill the rest from sample i+1."""
+    classes of sample i, fill the rest from sample i+1. ``patchwise``
+    selects classes independently per ``patchsize`` super-patch
+    (default 16*8, the reference signature :665)."""
     b, h, w, _ = imgs.shape
     lab_full = labels if labels.shape[1:] == (h, w) else \
         resize_nearest(labels, (h, w))
     keys = jax.random.split(key, b)
-    masks = jax.vmap(lambda k, lab: _class_mask(k, lab, num_classes))(
-        keys, lab_full)
+    if patchwise:
+        masks = jax.vmap(lambda k, lab: _patchwise_class_mask(
+            k, lab, num_classes, patchsize))(keys, lab_full)
+    else:
+        masks = jax.vmap(lambda k, lab: _class_mask(k, lab, num_classes))(
+            keys, lab_full)
     nxt = jnp.roll(jnp.arange(b), -1)
     m4 = masks[..., None]
     new_imgs = imgs * m4 + imgs[nxt] * (1.0 - m4)

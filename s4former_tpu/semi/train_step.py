@@ -152,7 +152,8 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
     if cfg.use_ClassMix:
         imgs, labels = gated(
             k[2], 0.5,
-            lambda kk, i, l: mixes.classmix(kk, i, l, num_classes),
+            lambda kk, i, l: mixes.classmix(kk, i, l, num_classes,
+                                            patchwise=cfg.patchwise),
             imgs, labels)
     if cfg.use_cutmix_adaptive:
         # per-sample confidence = mean((1 - normalized entropy) * maxprob)
@@ -183,9 +184,12 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
         imgs, perm = mixes.patch_shuffle(
             k[6], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
     if cfg.use_PatchShuffle_w_Classmix:
+        # reference passes patchsize=16*PatchMix_N here (:644-648)
         imgs, labels = gated(
             k[5], 0.5,
-            lambda kk, i, l: mixes.classmix(kk, i, l, num_classes),
+            lambda kk, i, l: mixes.classmix(
+                kk, i, l, num_classes, patchwise=cfg.patchwise,
+                patchsize=cfg.patchsize * cfg.PatchMix_N),
             imgs, labels)
         imgs, perm = mixes.patch_shuffle(
             k[6], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
@@ -203,7 +207,8 @@ def make_semi_train_step(model,
                          weight_decay: float = 0.0,
                          custom_keys: Optional[Dict[str, float]] = None,
                          grad_clip_norm: Optional[float] = None,
-                         patch_size: int = 16):
+                         patch_size: int = 16,
+                         paramwise_cfg: Optional[Dict] = None):
     """Returns train_step(state, batch, rng) -> (state, logs).
 
     ``batch``: dict with
@@ -550,9 +555,20 @@ def make_semi_train_step(model,
         # ---- 4. SGD + poly LR
         lr = poly_lr(state.step, base_lr, max_iters, power, min_lr)
         lr_mults = build_lr_mult_tree(state.params, custom_keys)
+        wd_mults = None
+        if paramwise_cfg is not None:
+            # layer-wise LR decay (LearningRateDecayOptimizerConstructor)
+            # composed multiplicatively with the custom_keys lr_mult
+            from s4former_tpu.core.optim import build_layer_decay_trees
+            ld_mults, wd_mults = build_layer_decay_trees(
+                state.params, paramwise_cfg['num_layers'],
+                paramwise_cfg['decay_rate'],
+                paramwise_cfg.get('decay_type', 'layer_wise'))
+            lr_mults = jax.tree_util.tree_map(
+                lambda a, b: a * b, lr_mults, ld_mults)
         new_params, new_momentum = sgd_update(
             state.params, grads, state.momentum, lr, lr_mults,
-            sgd_momentum, weight_decay)
+            sgd_momentum, weight_decay, wd_mults)
 
         logs.update(losses)
         logs['loss'] = total
