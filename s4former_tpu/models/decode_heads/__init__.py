@@ -9,3 +9,5 @@ from s4former_tpu.models.decode_heads.zoo_heads import (  # noqa: F401
     ANNHead, APCHead, ASPPHead, DAHead, DepthwiseSeparableASPPHead,
     DepthwiseSeparableFCNHead, DMHead, DNLHead, EMAHead, EncHead, GCHead,
     ISAHead, LRASPPHead, NLHead, PSAHead)
+from s4former_tpu.models.decode_heads.advanced_heads import (  # noqa: F401
+    DAFormerHead, DPTHead, IterativeDecodeHead, PointHead)
