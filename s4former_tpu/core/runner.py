@@ -103,6 +103,11 @@ class IterBasedRunner:
                     self._checkpoint(it)
         if it % self.checkpoint_interval != 0:  # avoid double final save
             self._checkpoint(it)
+        # completion sentinel: the reference's Slurm array wrappers cancel
+        # pending restart jobs when this file appears
+        # (run_setr_supervised.sh:10-14)
+        with open(osp.join(self.work_dir, 'work_is_done'), 'w') as f:
+            f.write(f'iter {it}\n')
         return self.state
 
     def _evaluate(self, it: int):

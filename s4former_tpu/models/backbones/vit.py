@@ -250,8 +250,10 @@ class VisionTransformer(nn.Module):
     use_flash: bool = True
     remat_layers: bool = True
     # 'full' = recompute everything in bwd (min memory); 'dots' = save
-    # matmul outputs, recompute elementwise only (faster bwd, more HBM)
-    remat_policy: str = 'full'
+    # matmul outputs, recompute elementwise only (faster bwd, more HBM).
+    # measured r2 (deferred-classifier heads): dots 23.1 vs full 22.6
+    # img/s/chip at 4+4/chip with HBM headroom — dots is the default
+    remat_policy: str = 'dots'
     dtype: jnp.dtype = jnp.float32  # compute dtype for matmuls
     # accepted-and-ignored config keys for parity with reference configs
     interpolate_mode: str = 'bilinear'

@@ -76,3 +76,39 @@ def feature_contrast_loss(features: Array, labels: Array,
     per_pixel = jnp.where(has_pos, logsum_all - logsum_pos, 0.0)
     return jnp.sum(per_pixel) / jnp.maximum(
         jnp.sum(has_pos.astype(jnp.float32)), 1.0)
+
+
+def feature_contrast_loss_v2(features: Array, labels: Array,
+                             memory_bank: Array, memory_count: Array,
+                             negative: bool = False) -> Array:
+    """V2 variant (feature_contrast_v2.py): drops the learned per-class
+    selector MLPs of v1 — features are l2-normalized and pulled toward the
+    MEAN of their class's banked features by plain (1 - cosine) distance;
+    ``negative=True`` additionally pushes away the other classes' means.
+
+    features [P, D]; labels [P] int; memory_bank [C, N, D] l2-normalized;
+    memory_count [C] valid counts.
+    """
+    c, n, d = memory_bank.shape
+    feats = features / jnp.maximum(
+        jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    slot_valid = (jnp.arange(n)[None, :] < memory_count[:, None])
+    class_mean = jnp.sum(memory_bank * slot_valid[..., None], axis=1) / \
+        jnp.maximum(memory_count[:, None].astype(jnp.float32), 1.0)
+    class_mean = class_mean / jnp.maximum(
+        jnp.linalg.norm(class_mean, axis=-1, keepdims=True), 1e-12)
+    cos = feats @ class_mean.T                              # [P, C]
+    has_bank = memory_count > 0                             # [C]
+    own = jnp.take_along_axis(cos, labels[:, None], axis=1)[:, 0]
+    valid = has_bank[labels] & (labels < c)
+    pull = jnp.where(valid, 1.0 - own, 0.0)
+    loss = jnp.sum(pull) / jnp.maximum(
+        jnp.sum(valid.astype(jnp.float32)), 1.0)
+    if negative:
+        other = (labels[:, None] != jnp.arange(c)[None]) & has_bank[None]
+        push = jnp.sum(jnp.where(other, jnp.maximum(cos, 0.0), 0.0),
+                       axis=1) / jnp.maximum(
+            jnp.sum(other.astype(jnp.float32), axis=1), 1.0)
+        loss = loss + jnp.sum(jnp.where(valid, push, 0.0)) / jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return loss

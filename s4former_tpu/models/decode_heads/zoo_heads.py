@@ -66,11 +66,22 @@ class _HeadBase(nn.Module):
 
 
 def _adaptive_pool(x: Array, s: int) -> Array:
-    """Adaptive average pool NHWC -> [B, s, s, C] (static shapes)."""
-    b, h, w, c = x.shape
-    ph, pw = max(h // s, 1), max(w // s, 1)
-    return jnp.mean(
-        x[:, :s * ph, :s * pw].reshape(b, s, ph, s, pw, c), axis=(2, 4))
+    """Adaptive average pool NHWC -> [B, s, s, C], exact torch
+    adaptive_avg_pool2d windows (start = floor(i*L/s), end =
+    ceil((i+1)*L/s)); works for s > L too. Static shapes."""
+    _, h, w, _ = x.shape
+
+    def pool_axis(arr, axis_len, axis):
+        segs = []
+        for i in range(s):
+            a = (i * axis_len) // s
+            e = -(-((i + 1) * axis_len) // s)
+            segs.append(jnp.mean(
+                jax.lax.slice_in_dim(arr, a, e, axis=axis),
+                axis=axis, keepdims=True))
+        return jnp.concatenate(segs, axis=axis)
+
+    return pool_axis(pool_axis(x, h, 1), w, 2)
 
 
 class SepConvBNReLU(nn.Module):

@@ -15,6 +15,10 @@ def main():
     parser.add_argument('--batch', type=int, default=1)
     parser.add_argument('--iters', type=int, default=200)
     parser.add_argument('--warmup', type=int, default=10)
+    parser.add_argument('--trace', metavar='DIR', default=None,
+                        help='capture a jax.profiler trace of the timed '
+                             'loop into DIR (view with tensorboard / '
+                             'xprof)')
     from s4former_tpu.config import DictAction
     parser.add_argument('--cfg-options', nargs='+', action=DictAction,
                         default={})
@@ -35,18 +39,33 @@ def main():
     variables = init_segmentor_variables(model, jax.random.PRNGKey(0),
                                          (args.batch, h, w, 3))
 
+    # variables as jit ARGUMENTS (closure constants embed the weights into
+    # the HLO payload — breaks this runtime's remote compile, CLAUDE.md)
     @jax.jit
-    def fwd(img):
+    def fwd(variables, img):
         return model.apply(variables, img, train=False)
+
+    def sync(out):
+        # this runtime's block_until_ready does NOT wait for execution;
+        # a host transfer of a dependent scalar does (bench.py sync())
+        return float(jnp.sum(out[..., 0].astype(jnp.float32)))
 
     img = jnp.asarray(np.random.randn(args.batch, h, w, 3), jnp.float32)
     for _ in range(args.warmup):
-        fwd(img).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(img)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out = fwd(variables, img)
+    sync(out)
+
+    import contextlib
+    trace_ctx = (jax.profiler.trace(args.trace) if args.trace
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd(variables, img)
+        sync(out)
+        dt = time.perf_counter() - t0
+    if args.trace:
+        print(f'profiler trace written to {args.trace}')
     fps = args.iters * args.batch / dt
     print(f'Overall fps: {fps:.2f} img/s  '
           f'({1000 * dt / args.iters / args.batch:.2f} ms/img)')

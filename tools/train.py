@@ -28,6 +28,10 @@ def parse_args():
     parser.add_argument('--max-iters', type=int, default=None,
                         help='override runner.max_iters')
     parser.add_argument('--no-validate', action='store_true')
+    parser.add_argument('--launcher', default='none',
+                        choices=['none', 'tpu', 'slurm', 'mpi', 'env'],
+                        help='multi-host bootstrap (jax.distributed); '
+                             "'none' = single host driving all local chips")
     from s4former_tpu.config import DictAction
     parser.add_argument('--cfg-options', nargs='+', action=DictAction,
                         default={})
@@ -36,6 +40,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    # multi-host process group BEFORE any jax device use
+    from s4former_tpu.parallel.distributed import init_distributed
+    init_distributed(args.launcher)
 
     import jax
     import s4former_tpu.data  # noqa: F401
@@ -97,8 +105,13 @@ def main():
     sup_ds = build_dataset(train_cfg['sup']) if 'sup' in train_cfg else \
         build_dataset(train_cfg)
     unsup_ds = None
+    unsup_mix_ds = None
     if semi_cfg.ema and train_cfg.get('unsup'):
         unsup_ds = build_dataset(train_cfg['unsup'])
+        # UniSemiDataset third source (UniMatch mix streams)
+        mix_cfg = train_cfg.get('unsup_mix') or train_cfg.get('unsup2')
+        if mix_cfg:
+            unsup_mix_ds = build_dataset(mix_cfg)
     n_chips = len(jax.devices())
     sup_pb = cfg.get('samples_per_gpu_sup',
                      cfg.data.get('samples_per_gpu', 8) // 2
@@ -106,7 +119,7 @@ def main():
                      else cfg.data.get('samples_per_gpu', 8))
     unsup_pb = cfg.get('samples_per_gpu_unsup', sup_pb) \
         if unsup_ds is not None else 0
-    loader = SemiLoader(sup_ds, unsup_ds,
+    loader = SemiLoader(sup_ds, unsup_ds, unsup_mix_ds,
                         sup_per_batch=sup_pb * n_chips,
                         unsup_per_batch=unsup_pb * n_chips,
                         num_workers=cfg.data.get('workers_per_gpu', 4) * 2,
@@ -118,8 +131,17 @@ def main():
     opt = cfg.get('optimizer', {})
     lr_cfg = cfg.get('lr_config', {})
     runner_cfg = cfg.get('runner', {})
-    paramwise = opt.get('paramwise_cfg', {}).get('custom_keys', {})
+    pw_cfg = opt.get('paramwise_cfg', {}) or {}
+    paramwise = pw_cfg.get('custom_keys', {})
     custom_keys = {k: v.get('lr_mult', 1.0) for k, v in paramwise.items()}
+    # layer-wise LR decay (LearningRateDecayOptimizerConstructor config
+    # shape: paramwise_cfg=dict(num_layers=N, decay_rate=r))
+    layer_decay = None
+    if 'num_layers' in pw_cfg and 'decay_rate' in pw_cfg:
+        layer_decay = dict(num_layers=pw_cfg['num_layers'],
+                           decay_rate=pw_cfg['decay_rate'],
+                           decay_type=pw_cfg.get('decay_type',
+                                                 'layer_wise'))
     max_iters = args.max_iters or runner_cfg.get('max_iters', 80001)
     grad_clip = (cfg.get('optimizer_config', {}) or {}).get('grad_clip')
     step_fn = make_semi_train_step(
@@ -129,7 +151,8 @@ def main():
         sgd_momentum=opt.get('momentum', 0.9),
         weight_decay=opt.get('weight_decay', 0.0),
         custom_keys=custom_keys or None,
-        grad_clip_norm=grad_clip.get('max_norm') if grad_clip else None)
+        grad_clip_norm=grad_clip.get('max_norm') if grad_clip else None,
+        paramwise_cfg=layer_decay)
 
     eval_fn = None
     if not args.no_validate and 'val' in cfg.data:
