@@ -46,6 +46,53 @@ class JsonlLoggerHook:
             self._wandb.log({f'{prefix}/{k}': v for k, v in
                              metrics.items()}, step=step)
 
+    def log_eval_images(self, step: int, images, preds, gts,
+                        palette=None, max_images: int = 8):
+        """Validation image table (reference MMSegWandbHook val-table
+        logging, wandblogger_hook.py:199-317): side-by-side
+        image | GT overlay | prediction overlay per sample. Written as
+        PNGs under work_dir/eval_vis/iter_N/ and, when a wandb run is
+        live, as a wandb.Table of masked images."""
+        import numpy as np
+        from s4former_tpu.utils.palette import paint_result
+        out_dir = osp.join(osp.dirname(self.path), 'eval_vis',
+                           f'iter_{int(step)}')
+        os.makedirs(out_dir, exist_ok=True)
+        if palette is None:
+            n = 256
+            rng = np.random.RandomState(42)
+            palette = rng.randint(0, 255, (n, 3)).tolist()
+        rows = []
+        for i, (img, pred, gt) in enumerate(zip(images, preds, gts)):
+            if i >= max_images:
+                break
+            img = np.asarray(img)
+            if img.dtype != np.uint8:
+                lo, hi = float(img.min()), float(img.max())
+                img = ((img - lo) / max(hi - lo, 1e-6) * 255).astype(
+                    np.uint8)
+            pred_vis = paint_result(img, np.where(
+                np.asarray(pred) == 255, 0, np.asarray(pred)), palette)
+            gt_vis = paint_result(img, np.where(
+                np.asarray(gt) == 255, 0, np.asarray(gt)), palette)
+            panel = np.concatenate([img, gt_vis, pred_vis], axis=1)
+            from PIL import Image
+            path = osp.join(out_dir, f'{i:03d}.png')
+            Image.fromarray(panel).save(path)
+            rows.append((path, pred, gt))
+        if self._wandb is not None and rows:
+            wandb = self._wandb
+            table = wandb.Table(columns=['image', 'ground_truth',
+                                         'prediction'])
+            for path, pred, gt in rows:
+                masks_gt = {'ground_truth': {'mask_data': np.asarray(gt)}}
+                masks_pr = {'prediction': {'mask_data': np.asarray(pred)}}
+                table.add_data(wandb.Image(path),
+                               wandb.Image(path, masks=masks_gt),
+                               wandb.Image(path, masks=masks_pr))
+            wandb.log({'val/examples': table}, step=int(step))
+        return out_dir
+
 
 def profile_steps(step_fn, state, batch, rng, out_dir: str,
                   num_steps: int = 3):

@@ -52,6 +52,8 @@ class IterBasedRunner:
         self.rng = jax.random.PRNGKey(seed)
         self.logger = logger or get_root_logger()
         self.best_miou = -1.0
+        from s4former_tpu.core.hooks import JsonlLoggerHook
+        self.metrics_hook = JsonlLoggerHook(work_dir)
 
     def resume(self, path: Optional[str] = None, auto: bool = False):
         if path is None and auto:
@@ -90,6 +92,8 @@ class IterBasedRunner:
                     self.logger.info(
                         f'Iter [{it}/{self.max_iters}] '
                         f'{self.log_interval / dt:.2f} it/s, {msg}')
+                    self.metrics_hook.log(
+                        it, {k: float(v) for k, v in logs.items()})
                     if float(logs.get('mask_ratio', 1.0)) == 0.0 and \
                             it <= 5 * self.log_interval:
                         self.logger.info(
@@ -119,6 +123,12 @@ class IterBasedRunner:
             ', '.join(f'{k}: {v:.4f}' for k, v in metrics.items()
                       if not k.startswith(('IoU.', 'Acc.'))) +
             f' ({time.perf_counter() - t0:.1f}s)')
+        self.metrics_hook.log(it, metrics, prefix='val')
+        samples = getattr(self.eval_fn, 'last_samples', None)
+        if samples:
+            self.metrics_hook.log_eval_images(
+                it, *zip(*samples),
+                palette=getattr(self.eval_fn, 'palette', None))
         if miou > self.best_miou:
             self.best_miou = miou
             ckpt_lib.save_checkpoint(
@@ -154,7 +164,8 @@ def _pad_to_bucket(img: np.ndarray, bucket: int):
 
 def make_eval_fn(model, dataset, batch_size: int = 1,
                  mode: str = 'whole', crop_size=(512, 512),
-                 stride=(341, 341), mesh=None, shape_bucket: int = 256):
+                 stride=(341, 341), mesh=None, shape_bucket: int = 256,
+                 capture_images: int = 4):
     """Build an eval closure: state -> metrics dict.
 
     Streams the val set through whole/slide inference, accumulating
@@ -192,6 +203,7 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
         pre_eval_results = []
+        eval_fn.last_samples = []
         for idx in range(len(dataset)):
             item = dataset.get_item_deterministic(idx, seed=0)
             if isinstance(item, list):  # MultiScaleFlipAug single scale
@@ -204,6 +216,9 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
             if logits.shape[:2] != gt.shape:
                 logits = resize_bilinear_np(logits, gt.shape, align)
             pred = np.argmax(logits, axis=-1).astype(np.int32)
+            if idx < capture_images:
+                # (image, pred, gt) for the val-image table hook
+                eval_fn.last_samples.append((img[0, :vh, :vw], pred, gt))
             pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
         tables = pre_eval_to_metrics(pre_eval_results, ('mIoU',))
         return {'aAcc': float(tables['aAcc']),
@@ -211,4 +226,6 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
                 'mAcc': float(np.nanmean(tables['Acc']))}
 
     eval_fn.compiled_shapes = compiled_shapes
+    eval_fn.last_samples = []
+    eval_fn.palette = getattr(dataset, 'PALETTE', None)
     return eval_fn

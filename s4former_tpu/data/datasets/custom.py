@@ -476,3 +476,132 @@ class iSAIDDataset(CustomDataset):
         kwargs.setdefault('img_suffix', '.png')
         kwargs.setdefault('seg_map_suffix', '_instance_color_RGB.png')
         super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class PascalContextDataset(CustomDataset):
+    """(pascal_context.py): 60 classes incl. background; requires a split
+    file like VOC."""
+    CLASSES = ('background', 'aeroplane', 'bag', 'bed', 'bedclothes', 'bench',
+        'bicycle', 'bird', 'boat', 'book', 'bottle', 'building', 'bus',
+        'cabinet', 'car', 'cat', 'ceiling', 'chair', 'cloth',
+        'computer', 'cow', 'cup', 'curtain', 'dog', 'door', 'fence',
+        'floor', 'flower', 'food', 'grass', 'ground', 'horse',
+        'keyboard', 'light', 'motorbike', 'mountain', 'mouse',
+        'person', 'plate', 'platform', 'pottedplant', 'road', 'rock',
+        'sheep', 'shelves', 'sidewalk', 'sign', 'sky', 'snow', 'sofa',
+        'table', 'track', 'train', 'tree', 'truck', 'tvmonitor',
+        'wall', 'water', 'window', 'wood')
+    PALETTE = [[120, 120, 120], [180, 120, 120], [6, 230, 230], [80, 50, 50],
+        [4, 200, 3], [120, 120, 80], [140, 140, 140], [204, 5, 255],
+        [230, 230, 230], [4, 250, 7], [224, 5, 255], [235, 255, 7],
+        [150, 5, 61], [120, 120, 70], [8, 255, 51], [255, 6, 82],
+        [143, 255, 140], [204, 255, 4], [255, 51, 7], [204, 70, 3],
+        [0, 102, 200], [61, 230, 250], [255, 6, 51], [11, 102, 255],
+        [255, 7, 71], [255, 9, 224], [9, 7, 230], [220, 220, 220],
+        [255, 9, 92], [112, 9, 255], [8, 255, 214], [7, 255, 224],
+        [255, 184, 6], [10, 255, 71], [255, 41, 10], [7, 255, 255],
+        [224, 255, 8], [102, 8, 255], [255, 61, 6], [255, 194, 7],
+        [255, 122, 8], [0, 255, 20], [255, 8, 41], [255, 5, 153],
+        [6, 51, 255], [235, 12, 255], [160, 150, 20], [0, 163, 255],
+        [140, 140, 140], [250, 10, 15], [20, 255, 0], [31, 255, 0],
+        [255, 31, 0], [255, 224, 0], [153, 255, 0], [0, 0, 255],
+        [255, 71, 0], [0, 235, 255], [0, 173, 255], [31, 0, 255]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', False)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class PascalContextDataset59(CustomDataset):
+    """(pascal_context.py): 59-class variant (background dropped,
+    reduce_zero_label=True)."""
+    CLASSES = ('aeroplane', 'bag', 'bed', 'bedclothes', 'bench', 'bicycle',
+        'bird', 'boat', 'book', 'bottle', 'building', 'bus', 'cabinet',
+        'car', 'cat', 'ceiling', 'chair', 'cloth', 'computer', 'cow',
+        'cup', 'curtain', 'dog', 'door', 'fence', 'floor', 'flower',
+        'food', 'grass', 'ground', 'horse', 'keyboard', 'light',
+        'motorbike', 'mountain', 'mouse', 'person', 'plate',
+        'platform', 'pottedplant', 'road', 'rock', 'sheep', 'shelves',
+        'sidewalk', 'sign', 'sky', 'snow', 'sofa', 'table', 'track',
+        'train', 'tree', 'truck', 'tvmonitor', 'wall', 'water',
+        'window', 'wood')
+    PALETTE = [[180, 120, 120], [6, 230, 230], [80, 50, 50], [4, 200, 3],
+        [120, 120, 80], [140, 140, 140], [204, 5, 255],
+        [230, 230, 230], [4, 250, 7], [224, 5, 255], [235, 255, 7],
+        [150, 5, 61], [120, 120, 70], [8, 255, 51], [255, 6, 82],
+        [143, 255, 140], [204, 255, 4], [255, 51, 7], [204, 70, 3],
+        [0, 102, 200], [61, 230, 250], [255, 6, 51], [11, 102, 255],
+        [255, 7, 71], [255, 9, 224], [9, 7, 230], [220, 220, 220],
+        [255, 9, 92], [112, 9, 255], [8, 255, 214], [7, 255, 224],
+        [255, 184, 6], [10, 255, 71], [255, 41, 10], [7, 255, 255],
+        [224, 255, 8], [102, 8, 255], [255, 61, 6], [255, 194, 7],
+        [255, 122, 8], [0, 255, 20], [255, 8, 41], [255, 5, 153],
+        [6, 51, 255], [235, 12, 255], [160, 150, 20], [0, 163, 255],
+        [140, 140, 140], [250, 10, 15], [20, 255, 0], [31, 255, 0],
+        [255, 31, 0], [255, 224, 0], [153, 255, 0], [0, 0, 255],
+        [255, 71, 0], [0, 235, 255], [0, 173, 255], [31, 0, 255]]
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        kwargs.setdefault('reduce_zero_label', True)
+        super().__init__(**kwargs)
+
+
+class _RetinalDataset(CustomDataset):
+    """Shared base for the retinal vessel datasets (chase_db1.py,
+    drive.py, hrf.py, stare.py): 2 classes, per-dataset suffixes."""
+    CLASSES = ('background', 'vessel')
+    PALETTE = [[120, 120, 120], [6, 230, 230]]
+    SEG_SUFFIX = '.png'
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.png')
+        kwargs.setdefault('seg_map_suffix', self.SEG_SUFFIX)
+        kwargs.setdefault('reduce_zero_label', False)
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class ChaseDB1Dataset(_RetinalDataset):
+    SEG_SUFFIX = '_1stHO.png'
+
+
+@DATASETS.register_module()
+class DRIVEDataset(_RetinalDataset):
+    SEG_SUFFIX = '_manual1.png'
+
+
+@DATASETS.register_module()
+class HRFDataset(_RetinalDataset):
+    SEG_SUFFIX = '.png'
+
+
+@DATASETS.register_module()
+class STAREDataset(_RetinalDataset):
+    SEG_SUFFIX = '.ah.png'
+
+
+@DATASETS.register_module()
+class DarkZurichDataset(CityscapesDataset):
+    """(dark_zurich.py): Cityscapes classes, Dark Zurich suffixes."""
+
+    def __init__(self, **kwargs):
+        kwargs['img_suffix'] = '_rgb_anon.png'
+        kwargs['seg_map_suffix'] = '_gt_labelTrainIds.png'
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
+class NightDrivingDataset(CityscapesDataset):
+    """(night_driving.py): Cityscapes classes, NighttimeDriving
+    suffixes."""
+
+    def __init__(self, **kwargs):
+        kwargs['img_suffix'] = '_leftImg8bit.png'
+        kwargs['seg_map_suffix'] = '_gtCoarse_labelTrainIds.png'
+        super().__init__(**kwargs)
