@@ -49,7 +49,7 @@ def main():
     flagship['backbone']['use_flash'] = \
         os.environ.get('BENCH_FLASH', '1') == '1'
     flagship['backbone']['remat_policy'] = \
-        os.environ.get('BENCH_REMAT_POLICY', 'full')
+        os.environ.get('BENCH_REMAT_POLICY', 'dots')
     flagship['decode_head']['dtype'] = dtype
     for aux in flagship['auxiliary_head']:
         aux['dtype'] = dtype

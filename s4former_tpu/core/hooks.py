@@ -101,12 +101,20 @@ def profile_steps(step_fn, state, batch, rng, out_dir: str,
     View with tensorboard/xprof. Returns the final state.
     """
     import jax
+    import jax.numpy as jnp
     os.makedirs(out_dir, exist_ok=True)
+
+    def sync(st):
+        # block_until_ready does not wait on this runtime (CLAUDE.md);
+        # pull a dependent scalar to host instead
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     # warmup/compile outside the trace
     state, _ = step_fn(state, batch, rng)
-    jax.block_until_ready(state.params)
+    sync(state)
     with jax.profiler.trace(out_dir):
         for i in range(num_steps):
             state, logs = step_fn(state, batch, jax.random.fold_in(rng, i))
-        jax.block_until_ready(state.params)
+        sync(state)
     return state

@@ -46,10 +46,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """Device-put a host batch with batch-axis sharding."""
+    """Device-put a host batch with batch-axis sharding.
+
+    Single process: a plain sharded device_put. Multi-host: every process
+    feeds its LOCAL slice of the global batch (loaders run the same seed,
+    so each host materializes the full global batch and contributes the
+    contiguous block owned by its devices);
+    ``jax.make_array_from_process_local_data`` assembles the global
+    array without any cross-host data movement (docs/multi_host.md)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batch)
+    from s4former_tpu.parallel.distributed import local_batch_slice
+
+    def put(x):
+        import numpy as np
+        x = np.asarray(x)
+        local = x[local_batch_slice(x.shape[0])]
+        return jax.make_array_from_process_local_data(sh, local, x.shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(mesh: Mesh, state):
