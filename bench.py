@@ -69,17 +69,24 @@ def main():
         model, cfg, num_classes=21, base_lr=0.001, max_iters=80001),
         donate_argnums=0)
 
+    use_mesh = os.environ.get('BENCH_MESH', '1') == '1' or n_chips > 1
     mesh = make_mesh()
-    state = replicate_state(mesh, state)
+    if use_mesh:
+        state = replicate_state(mesh, state)
     bs = sup_per_chip * n_chips
     bu = unsup_per_chip * n_chips
     rng = np.random.RandomState(0)
-    batch = shard_batch(mesh, {
+    batch = {
         'sup_img': rng.randn(bs, 512, 512, 3).astype(np.float32),
         'sup_gt': rng.randint(0, 21, (bs, 512, 512)).astype(np.int32),
         'unsup_teacher_img': rng.randn(bu, 512, 512, 3).astype(np.float32),
         'unsup_student_img': rng.randn(bu, 512, 512, 3).astype(np.float32),
-    })
+    }
+    if use_mesh:
+        batch = shard_batch(mesh, batch)
+    else:
+        import jax.numpy as _jnp
+        batch = {k: _jnp.asarray(v) for k, v in batch.items()}
 
     def sync(st):
         # On this TPU runtime block_until_ready does not wait for device
@@ -88,16 +95,16 @@ def main():
         leaf = jax.tree_util.tree_leaves(st.params)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
+    import contextlib
     import jax.numpy as jnp
     key = jax.random.PRNGKey(0)
-    with mesh:
+    with (mesh if use_mesh else contextlib.nullcontext()):
         for i in range(warmup):
-            state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
+            state, logs = step_fn(state, batch, key)
         sync(state)
         t0 = time.perf_counter()
         for i in range(steps):
-            state, logs = step_fn(state, batch,
-                                  jax.random.fold_in(key, 100 + i))
+            state, logs = step_fn(state, batch, key)
         sync(state)
         dt = time.perf_counter() - t0
 

@@ -75,9 +75,11 @@ class IterBasedRunner:
                 batch = next(data_iter)
                 if self.mesh is not None:
                     batch = shard_batch(self.mesh, batch)
-                step_rng = jax.random.fold_in(self.rng, it)
+                # per-step rng is derived INSIDE the step from state.step;
+                # passing the constant base key keeps the loop free of
+                # per-iteration host dispatches
                 self.state, logs = self.train_step(self.state, batch,
-                                                   step_rng)
+                                                   self.rng)
                 it += 1
                 if it % self.log_interval == 0:
                     # this runtime's block_until_ready does NOT wait for

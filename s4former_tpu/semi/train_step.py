@@ -224,6 +224,11 @@ def make_semi_train_step(model,
     def train_step(state: TrainState, batch: Dict[str, Array],
                    rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
         logs: Dict[str, Array] = {}
+        # per-step randomness derived INSIDE the program from the base key
+        # and the step counter: the host loop passes the same key object
+        # every step (no per-step host dispatch; steps pipeline freely) and
+        # a resumed run reproduces the same stream at the same step.
+        rng = jax.random.fold_in(rng, state.step)
         r_ema, r_sup, r_mix, r_drop, r_fdrop = jax.random.split(rng, 5)
         # independent dropout masks per student forward (the reference's
         # torch Dropout draws fresh per call; reusing one key would give
