@@ -71,6 +71,14 @@ class JsonlLoggerHook:
                 lo, hi = float(img.min()), float(img.max())
                 img = ((img - lo) / max(hi - lo, 1e-6) * 255).astype(
                     np.uint8)
+            pred = np.asarray(pred)
+            if img.shape[:2] != pred.shape[:2]:
+                # the captured input is the eval-pipeline scale; pred/gt
+                # are ori_shape — bring the image to ori_shape for display
+                from s4former_tpu.data.pipelines.transforms import \
+                    _pil_resize
+                img = _pil_resize(
+                    img, (pred.shape[1], pred.shape[0]))
             pred_vis = paint_result(img, np.where(
                 np.asarray(pred) == 255, 0, np.asarray(pred)), palette)
             gt_vis = paint_result(img, np.where(

@@ -34,10 +34,50 @@ def _rng(results) -> np.random.Generator:
     return r
 
 
+def _read_rgb(path: str) -> np.ndarray:
+    """Decode an image file to RGB uint8 [h, w, 3]. Native C++ decode
+    (libjpeg/libpng, GIL released) when built; PIL fallback."""
+    from s4former_tpu import native
+    if native.available():
+        with open(path, 'rb') as f:
+            data = f.read()
+        try:
+            return native.decode_rgb(data)
+        except ValueError:
+            pass  # unsupported container (bmp/tiff/...) -> PIL
+    from PIL import Image
+    return np.asarray(Image.open(path).convert('RGB'))
+
+
+def _read_label(path: str) -> np.ndarray:
+    """Decode a label map to uint8 [h, w]: raw palette indices for 'P'
+    PNGs, gray values otherwise (reference loading.py:104 semantics)."""
+    from s4former_tpu import native
+    if native.available():
+        with open(path, 'rb') as f:
+            data = f.read()
+        try:
+            return native.decode_label(data)
+        except ValueError:
+            pass
+    from PIL import Image
+    seg = np.asarray(Image.open(path)).astype(np.uint8)
+    if seg.ndim == 3:
+        seg = seg[..., 0]
+    return seg
+
+
 def _pil_resize(img: np.ndarray, size_wh: Tuple[int, int],
                 nearest: bool = False) -> np.ndarray:
-    from PIL import Image
+    """PIL-semantics resize; served by the native C++ runtime when built
+    (bit-exact parity pinned in tests/test_native/), PIL otherwise."""
     mode_in = img.dtype
+    if mode_in == np.uint8:
+        from s4former_tpu import native
+        out = native.resize_u8(img, size_wh, nearest=nearest)
+        if out is not None:
+            return out
+    from PIL import Image
     if nearest:
         pil = Image.fromarray(img)
         out = pil.resize(size_wh, Image.NEAREST)
@@ -70,9 +110,8 @@ class LoadImageFromFile:
         self.to_float32 = to_float32
 
     def __call__(self, results):
-        from PIL import Image
         path = results['img_info']['filename']
-        img = np.asarray(Image.open(path).convert('RGB'))
+        img = _read_rgb(path)
         if self.to_float32:
             img = img.astype(np.float32)
         results['filename'] = path
@@ -98,11 +137,8 @@ class LoadAnnotations:
         self.reduce_zero_label = reduce_zero_label
 
     def __call__(self, results):
-        from PIL import Image
         path = results['ann_info']['seg_map']
-        seg = np.asarray(Image.open(path)).astype(np.uint8)
-        if seg.ndim == 3:
-            seg = seg[..., 0]
+        seg = _read_label(path)
         if self.reduce_zero_label:
             seg = seg.astype(np.int32)
             seg[seg == 0] = 256

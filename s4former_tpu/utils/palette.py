@@ -7,8 +7,13 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def colorize(seg: np.ndarray, palette: Sequence[Sequence[int]]
-             ) -> np.ndarray:
+def colorize(seg: np.ndarray,
+             palette: Optional[Sequence[Sequence[int]]]) -> np.ndarray:
+    if palette is None:
+        # datasets registered without a PALETTE: seeded random colors,
+        # like the reference's state.palette fallback (base.py:295-300)
+        palette = np.random.RandomState(42).randint(
+            0, 255, (256, 3)).tolist()
     pal = np.asarray(palette, np.uint8)
     seg = np.clip(seg, 0, len(pal) - 1)
     return pal[seg]

@@ -70,15 +70,19 @@ def main():
     stride = tuple((cfg.model.get('test_cfg') or {}).get(
         'stride', (341, 341)))
 
+    # Reference semantics (encoder_decoder.py:1118-1172): LOGITS are
+    # bilinearly resized to ori_shape BEFORE argmax — identical to the
+    # training-time eval path (core/runner.make_eval_fn), so offline and
+    # in-training mIoU agree at the same checkpoint. Val shapes are
+    # bucket-padded to bound recompiles.
+    from s4former_tpu.core.runner import _pad_to_bucket
+    from s4former_tpu.ops.resize import resize_bilinear_np
+
     @jax.jit
-    def _predict(vs, img):
-        probs = inference(
+    def _logits(vs, img):
+        return inference(
             lambda x: model.apply(vs, x, train=False),
             img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
-        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
-
-    def predict(img):
-        return _predict(variables, img)
 
     pre_eval_results = []
     for idx in range(len(dataset)):
@@ -86,12 +90,13 @@ def main():
         if isinstance(item, list):
             item = item[0]
         img = np.asarray(item['img'], np.float32)[None]
-        pred = np.asarray(predict(img))[0]
+        img, (vh, vw) = _pad_to_bucket(img, 256)
+        logits = np.asarray(_logits(variables, img))[0, :vh, :vw]
         gt = dataset.get_gt_seg_map(idx)
-        if pred.shape != gt.shape:
-            from PIL import Image
-            pred = np.asarray(Image.fromarray(pred.astype(np.uint8)).resize(
-                (gt.shape[1], gt.shape[0]), Image.NEAREST))
+        if logits.shape[:2] != gt.shape:
+            logits = resize_bilinear_np(
+                logits, gt.shape, getattr(model, 'align_corners', False))
+        pred = np.argmax(logits, axis=-1).astype(np.int32)
         if args.show_dir:
             os.makedirs(args.show_dir, exist_ok=True)
             out = paint_result(
