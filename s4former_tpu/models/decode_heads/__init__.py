@@ -11,3 +11,6 @@ from s4former_tpu.models.decode_heads.zoo_heads import (  # noqa: F401
     ISAHead, LRASPPHead, NLHead, PSAHead)
 from s4former_tpu.models.decode_heads.advanced_heads import (  # noqa: F401
     DAFormerHead, DPTHead, IterativeDecodeHead, PointHead)
+from s4former_tpu.models.decode_heads.extra_heads import (  # noqa: F401
+    CCHead, FPNHead, SegmenterMaskTransformerHead, STDCHead,
+    stdc_boundary_targets)

@@ -1,0 +1,238 @@
+"""Final decode-head roster entries: FPN, CCNet, Segmenter, STDC.
+
+Rebuilds of (reference: mmseg/models/decode_heads/) fpn_head.py:12,
+cc_head.py:14, segmenter_mask_head.py:16, stdc_head.py:10 — the last four
+heads of the reference's 37-file roster. TPU-native notes:
+
+- CCHead: the reference requires mmcv-full's CUDA ``CrissCrossAttention``
+  op (cc_head.py:7-28 raises without it); here criss-cross attention is
+  two fixed-shape einsums over the row/column axes — no custom kernel
+  needed, XLA maps them onto the MXU directly.
+- STDCHead: the reference derives boundary targets from the label inside
+  ``losses`` (stdc_head.py:34-85, laplacian + stride pyramid + fusion);
+  losses live OUTSIDE the model here (CLAUDE.md invariant), so the target
+  construction is the pure function :func:`stdc_boundary_targets` applied
+  by the caller before the usual binary CE.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from s4former_tpu.models.decode_heads.misc_heads import ConvBNReLU, FCNHead
+from s4former_tpu.models.decode_heads.zoo_heads import (_HeadBase,
+                                                        _head_fields)
+from s4former_tpu.ops.resize import resize_bilinear, resize_nearest
+from s4former_tpu.registry import HEADS
+
+Array = jax.Array
+
+
+@HEADS.register_module()
+@_head_fields
+class FPNHead(_HeadBase):
+    """(fpn_head.py:12, Panoptic FPN): per-level scale heads — one
+    ConvBNReLU per octave between the level's stride and the finest
+    stride, 2x bilinear upsample after each — summed at the finest
+    resolution."""
+    in_channels: Sequence[int] = (256, 256, 256, 256)
+    channels: int = 128
+    num_classes: int = 21
+    feature_strides: Sequence[int] = (4, 8, 16, 32)
+    in_index: Union[int, Sequence[int]] = (0, 1, 2, 3)
+    input_transform: str = 'multiple_select'
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        assert min(self.feature_strides) == self.feature_strides[0]
+        feats = [inputs[i] for i in self.in_index] \
+            if isinstance(inputs, (list, tuple)) else [inputs]
+        out = None
+        for i, stride in enumerate(self.feature_strides):
+            head_length = max(
+                1, int(math.log2(stride) -
+                       math.log2(self.feature_strides[0])))
+            x = feats[i]
+            for k in range(head_length):
+                x = ConvBNReLU(self.channels, 3,
+                               name=f'scale_heads_{i}_{k}')(x, train)
+                if stride != self.feature_strides[0]:
+                    x = resize_bilinear(
+                        x, (x.shape[1] * 2, x.shape[2] * 2),
+                        self.align_corners)
+            if out is None:
+                out = x
+            else:
+                if x.shape[1:3] != out.shape[1:3]:
+                    x = resize_bilinear(x, out.shape[1:3],
+                                        self.align_corners)
+                out = out + x
+        return self._cls(out, train, return_last_feat)
+
+
+class CrissCrossAttention(nn.Module):
+    """(mmcv op CrissCrossAttention, used by cc_head.py): each pixel
+    attends over its own row and column. energy over the column direction
+    carries a -inf diagonal so the self pixel is only counted once (in the
+    row softmax), matching the CUDA op. ``gamma`` starts at 0 — the block
+    is an identity at init."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cq = max(self.channels // 8, 1)
+        q = nn.Conv(cq, (1, 1), use_bias=False, name='query')(x)
+        k = nn.Conv(cq, (1, 1), use_bias=False, name='key')(x)
+        v = nn.Conv(self.channels, (1, 1), use_bias=False, name='value')(x)
+        h = x.shape[1]
+        # column attention [B,H,W,H'] with -inf self term; row [B,H,W,W']
+        energy_h = jnp.einsum('bhwc,bHwc->bhwH', q, k)
+        energy_h = energy_h - jnp.where(
+            jnp.eye(h, dtype=bool)[:, None, :], jnp.inf, 0.0)
+        energy_w = jnp.einsum('bhwc,bhWc->bhwW', q, k)
+        att = jax.nn.softmax(
+            jnp.concatenate([energy_h, energy_w], axis=-1), axis=-1)
+        att_h, att_w = att[..., :h], att[..., h:]
+        out = jnp.einsum('bhwH,bHwc->bhwc', att_h, v) + \
+            jnp.einsum('bhwW,bhWc->bhwc', att_w, v)
+        gamma = self.param('gamma', nn.initializers.zeros, ())
+        return gamma * out + x
+
+
+@HEADS.register_module()
+@_head_fields
+class CCHead(_HeadBase):
+    """(cc_head.py:14, CCNet): FCN head with ``recurrence`` criss-cross
+    attention passes between the two convs."""
+    in_channels: int = 2048
+    channels: int = 512
+    num_classes: int = 21
+    recurrence: int = 2
+    concat_input: bool = True
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        inp = x
+        y = ConvBNReLU(self.channels, 3, name='convs_0')(x, train)
+        cca = CrissCrossAttention(self.channels, name='cca')
+        for _ in range(self.recurrence):
+            y = cca(y)
+        y = ConvBNReLU(self.channels, 3, name='convs_1')(y, train)
+        if self.concat_input:
+            y = ConvBNReLU(self.channels, 3, name='conv_cat')(
+                jnp.concatenate([inp, y], -1), train)
+        return self._cls(y, train, return_last_feat)
+
+
+@HEADS.register_module()
+@_head_fields
+class SegmenterMaskTransformerHead(_HeadBase):
+    """(segmenter_mask_head.py:16, Segmenter): learnable class embeddings
+    appended to projected patch tokens, run through a small transformer,
+    masks = LN(normalize(patches) @ normalize(classes)^T)."""
+    in_channels: int = 768
+    num_layers: int = 2
+    num_heads: int = 6
+    embed_dims: int = 384
+    channels: int = 384  # config-parity alias, unused
+    num_classes: int = 21
+    mlp_ratio: int = 4
+    drop_path_rate: float = 0.1
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    qkv_bias: bool = True
+    in_index: Union[int, Sequence[int]] = -1
+    input_transform: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs, *, train: bool = False,
+                 patchmix_perm: Optional[Array] = None,
+                 patchmix_n: int = 0, return_last_feat: bool = False):
+        from s4former_tpu.models.backbones.vit import TransformerEncoderLayer
+        x = self._pick(inputs, patchmix_perm, patchmix_n)
+        b, h, w, c = x.shape
+        tokens = nn.Dense(self.embed_dims, name='dec_proj')(
+            x.reshape(b, h * w, c))
+        cls_emb = self.param(
+            'cls_emb', nn.initializers.normal(0.02),
+            (1, self.num_classes, self.embed_dims))
+        tokens = jnp.concatenate(
+            [tokens, jnp.broadcast_to(
+                cls_emb, (b, self.num_classes, self.embed_dims))], axis=1)
+        dpr = [self.drop_path_rate * i / max(self.num_layers - 1, 1)
+               for i in range(self.num_layers)]
+        for i in range(self.num_layers):
+            tokens, _ = TransformerEncoderLayer(
+                embed_dims=self.embed_dims, num_heads=self.num_heads,
+                feedforward_channels=self.mlp_ratio * self.embed_dims,
+                drop_rate=self.drop_rate,
+                attn_drop_rate=self.attn_drop_rate,
+                drop_path_rate=dpr[i], qkv_bias=self.qkv_bias,
+                use_flash=False, name=f'layers_{i}')(
+                    tokens, deterministic=not train)
+        tokens = nn.LayerNorm(name='decoder_norm')(tokens)
+        patches = nn.Dense(self.embed_dims, use_bias=False,
+                           name='patch_proj')(
+                               tokens[:, :-self.num_classes])
+        cls_feat = nn.Dense(self.embed_dims, use_bias=False,
+                            name='classes_proj')(
+                                tokens[:, -self.num_classes:])
+        patches = patches / jnp.maximum(
+            jnp.linalg.norm(patches, axis=-1, keepdims=True), 1e-12)
+        cls_feat = cls_feat / jnp.maximum(
+            jnp.linalg.norm(cls_feat, axis=-1, keepdims=True), 1e-12)
+        masks = jnp.einsum('bpd,bkd->bpk', patches, cls_feat)
+        masks = nn.LayerNorm(name='mask_norm')(masks)
+        logits = masks.reshape(b, h, w, self.num_classes).astype(
+            jnp.float32)
+        feat = patches.reshape(b, h, w, self.embed_dims)
+        return (logits, feat) if return_last_feat else logits
+
+
+_LAPLACIAN = jnp.array([[-1., -1., -1.],
+                        [-1., 8., -1.],
+                        [-1., -1., -1.]])
+
+
+def _laplacian(x: Array, stride: int) -> Array:
+    """3x3 laplacian conv on [B, H, W, 1] float, padding 1."""
+    return jax.lax.conv_general_dilated(
+        x, _LAPLACIAN[:, :, None, None], (stride, stride),
+        [(1, 1), (1, 1)], dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def stdc_boundary_targets(seg_label: Array,
+                          boundary_threshold: float = 0.1) -> Array:
+    """(stdc_head.py:34-85) Detail-aggregation boundary target: binarized
+    laplacian responses at strides 1/2/4, nearest-upsampled, fused by the
+    fixed [.6, .3, .1] kernel and re-binarized. seg_label [B, H, W] int ->
+    [B, H, W] float {0, 1}."""
+    lab = seg_label.astype(jnp.float32)[..., None]
+    t1 = jnp.clip(_laplacian(lab, 1), 0.0, None)
+    t1 = (t1 > boundary_threshold).astype(jnp.float32)
+    t2 = jnp.clip(_laplacian(lab, 2), 0.0, None)
+    t4 = jnp.clip(_laplacian(lab, 4), 0.0, None)
+    hw = t1.shape[1:3]
+    t2 = (resize_nearest(t2, hw) > boundary_threshold).astype(jnp.float32)
+    t4 = (resize_nearest(t4, hw) > boundary_threshold).astype(jnp.float32)
+    fused = 0.6 * t1 + 0.3 * t2 + 0.1 * t4
+    return (fused[..., 0] > boundary_threshold).astype(jnp.float32)
+
+
+@HEADS.register_module()
+class STDCHead(FCNHead):
+    """(stdc_head.py:10): FCN head predicting the 1-channel boundary map;
+    the caller builds its target with :func:`stdc_boundary_targets` (loss
+    construction is outside the model in this framework)."""
+    boundary_threshold: float = 0.1

@@ -24,29 +24,29 @@ from s4former_tpu.registry import HEADS
 
 Array = jax.Array
 
-# shared config-parity fields for every head below
-_COMMON = dict(
-    dropout_ratio=0.1, align_corners=False, loss_decode=None,
-    norm_cfg=None, act_cfg=None, init_cfg=None, sampler=None,
-    ignore_index=255)
-
-
 def _head_fields(cls):
-    """Apply the common optional dataclass fields to a head module."""
-    anns = {'dropout_ratio': float, 'align_corners': bool,
-            'loss_decode': Optional[dict], 'norm_cfg': Optional[dict],
-            'act_cfg': Optional[dict],
-            'init_cfg': Optional[Union[dict, list]],
-            'sampler': Optional[dict], 'ignore_index': int}
-    for name, default in _COMMON.items():
-        if name not in cls.__annotations__:
-            cls.__annotations__[name] = anns[name]
-            setattr(cls, name, default)
+    """Historical decorator, now a no-op: the shared config-parity fields
+    (dropout_ratio, align_corners, loss_decode, norm_cfg, act_cfg,
+    init_cfg, sampler, ignore_index) are declared on ``_HeadBase`` so flax
+    turns them into real keyword constructor args on every subclass.
+    (Adding annotations after class creation — the old approach — ran too
+    late: flax's dataclass transform happens in ``__init_subclass__``, so
+    reference configs passing ``loss_decode=...`` raised TypeError.)"""
     return cls
 
 
 class _HeadBase(nn.Module):
-    """Mixin: input select + PatchShuffle undo + classifier tail."""
+    """Mixin: input select + PatchShuffle undo + classifier tail, plus
+    the BaseDecodeHead config surface shared by every zoo head
+    (reference decode_head.py:35-105 constructor kwargs)."""
+    dropout_ratio: float = 0.1
+    align_corners: bool = False
+    loss_decode: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[Union[dict, list]] = None
+    sampler: Optional[dict] = None
+    ignore_index: int = 255
 
     def _pick(self, inputs, patchmix_perm, patchmix_n):
         x = transform_inputs(inputs, self.in_index, self.input_transform,
