@@ -237,8 +237,44 @@ def ade_palette() -> List[List[int]]:
             [184, 255, 0], [0, 133, 255], [255, 214, 0], [25, 194, 194],
             [102, 255, 0], [92, 0, 255]]
 
+def coco_classes() -> List[str]:
+    """81 COCO 'thing' classes incl. leading void (ref coco.py:17-28)."""
+    return [
+        'void', 'person', 'bicycle', 'car', 'motorcycle', 'airplane',
+        'bus', 'train', 'truck', 'boat', 'traffic light', 'fire hydrant',
+        'stop sign', 'parking meter', 'bench', 'bird', 'cat', 'dog',
+        'horse', 'sheep', 'cow', 'elephant', 'bear', 'zebra', 'giraffe',
+        'backpack', 'umbrella', 'handbag', 'tie', 'suitcase', 'frisbee',
+        'skis', 'snowboard', 'sports ball', 'kite', 'baseball bat',
+        'baseball glove', 'skateboard', 'surfboard', 'tennis racket',
+        'bottle', 'wine glass', 'cup', 'fork', 'knife', 'spoon', 'bowl',
+        'banana', 'apple', 'sandwich', 'orange', 'broccoli', 'carrot',
+        'hot dog', 'pizza', 'donut', 'cake', 'chair', 'couch',
+        'potted plant', 'bed', 'dining table', 'toilet', 'tv', 'laptop',
+        'mouse', 'remote', 'keyboard', 'cell phone', 'microwave', 'oven',
+        'toaster', 'sink', 'refrigerator', 'book', 'clock', 'vase',
+        'scissors', 'teddy bear', 'hair drier', 'toothbrush']
+
+
+def coco_palette() -> List[List[int]]:
+    """Canonical VOC bit-reversal colormap, 81 entries — identical to the
+    table hardcoded at ref coco.py:30-112."""
+    out = []
+    for idx in range(81):
+        r = g = b = 0
+        c = idx
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        out.append([r, g, b])
+    return out
+
+
 _REGISTRY = {
     'voc': (voc_classes, voc_palette),
+    'coco': (coco_classes, coco_palette),
     'pascal_voc': (voc_classes, voc_palette),
     'cityscapes': (cityscapes_classes, cityscapes_palette),
     'ade': (ade_classes, ade_palette),

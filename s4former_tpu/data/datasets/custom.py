@@ -383,6 +383,20 @@ class LoveDADataset(CustomDataset):
 
 
 @DATASETS.register_module()
+class COCODataset(CustomDataset):
+    """(coco.py:7): 81 COCO thing classes incl. void; .jpg images,
+    .png labels."""
+    from s4former_tpu.core.class_names import coco_classes, coco_palette
+    CLASSES = tuple(coco_classes())
+    PALETTE = coco_palette()
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault('img_suffix', '.jpg')
+        kwargs.setdefault('seg_map_suffix', '.png')
+        super().__init__(**kwargs)
+
+
+@DATASETS.register_module()
 class PotsdamDataset(CustomDataset):
     """(potsdam.py): ISPRS Potsdam, 6 classes."""
     CLASSES = ('impervious_surface', 'building', 'low_vegetation', 'tree',
