@@ -35,11 +35,15 @@ def softmax_cross_entropy_with_ignore(
     safe_label = jnp.where(valid, label, 0).astype(jnp.int32)
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, safe_label[..., None],
-                               axis=-1)[..., 0]
+    # one-hot contraction, NOT take_along_axis: per-pixel gathers on the
+    # tiled TPU layout measured 1.6 GB/s (15.5 ms each on [4,512,512,21],
+    # 7 per train step = 31% of step time); the masked sum fuses into the
+    # log_softmax epilogue and its gradient is elementwise (no scatter).
+    onehot = jax.nn.one_hot(safe_label, num_classes, dtype=log_probs.dtype)
+    nll = -jnp.sum(log_probs * onehot, axis=-1)
     if class_weight is not None:
         cw = jnp.asarray(class_weight, jnp.float32)
-        nll = nll * cw[safe_label]
+        nll = nll * (onehot @ cw)
     validf = valid.astype(jnp.float32)
     return nll * validf, validf
 
