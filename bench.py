@@ -44,8 +44,11 @@ def main():
     flagship = copy.deepcopy(FLAGSHIP)
     dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
     flagship['backbone']['dtype'] = dtype
+    # remat OFF by default: the deferred-classifier heads freed enough HBM
+    # that the full fwd+bwd fits at 4+4, and skipping the recompute is
+    # worth ~4% (33.5 -> 34.8 img/s). 8+8 needs BENCH_REMAT=1.
     flagship['backbone']['remat_layers'] = \
-        os.environ.get('BENCH_REMAT', '1') == '1'
+        os.environ.get('BENCH_REMAT', '0') == '1'
     flagship['backbone']['use_flash'] = \
         os.environ.get('BENCH_FLASH', '1') == '1'
     flagship['backbone']['remat_policy'] = \
