@@ -1,0 +1,28 @@
+# OCRNet + HRNet-18 cascade base (reference: upstream ocrnet_hr18.py)
+norm_cfg = dict(type='SyncBN', requires_grad=True)
+model = dict(
+    type='CascadeEncoderDecoder',
+    num_stages=2,
+    backbone=dict(type='HRNet', extra=dict(
+        stage1=dict(num_modules=1, num_branches=1, num_blocks=(2,),
+                    num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, num_blocks=(2, 2),
+                    num_channels=(18, 36)),
+        stage3=dict(num_modules=2, num_branches=3, num_blocks=(2, 2, 2),
+                    num_channels=(18, 36, 72)),
+        stage4=dict(num_modules=2, num_branches=4, num_blocks=(2, 2, 2, 2),
+                    num_channels=(18, 36, 72, 144)))),
+    decode_head=[
+        dict(type='FCNHead', in_channels=[18, 36, 72, 144],
+             in_index=(0, 1, 2, 3), input_transform='resize_concat',
+             channels=270, num_convs=1, kernel_size=1, concat_input=False,
+             dropout_ratio=-1, num_classes=19, norm_cfg=norm_cfg,
+             align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', loss_weight=0.4)),
+        dict(type='OCRHead', in_channels=[18, 36, 72, 144],
+             in_index=(0, 1, 2, 3), input_transform='resize_concat',
+             channels=512, ocr_channels=256, dropout_ratio=-1,
+             num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss', loss_weight=1.0)),
+    ],
+    train_cfg=dict(), test_cfg=dict(mode='whole'))
