@@ -323,10 +323,38 @@ class PhotoMetricDistortion:
 
     @staticmethod
     def _convert(img, alpha=1.0, beta=0.0):
+        from s4former_tpu import native
+        out = native.convert_u8(img, alpha, beta)
+        if out is not None:
+            return out
         out = img.astype(np.float32) * alpha + beta
         return np.clip(out, 0, 255).astype(np.uint8)
 
+    @staticmethod
+    def _saturate(img, alpha):
+        from s4former_tpu import native
+        out = native.saturation_u8(img, alpha)
+        if out is not None:
+            return out
+        hsv = _rgb_to_hsv_cv(img)
+        hsv[..., 1] = PhotoMetricDistortion._convert(hsv[..., 1],
+                                                     alpha=alpha)
+        return _hsv_to_rgb_cv(hsv)
+
+    @staticmethod
+    def _hue(img, dh):
+        from s4former_tpu import native
+        out = native.hue_u8(img, dh)
+        if out is not None:
+            return out
+        hsv = _rgb_to_hsv_cv(img)
+        hsv[..., 0] = (hsv[..., 0].astype(int) + dh) % 180
+        return _hsv_to_rgb_cv(hsv)
+
     def __call__(self, results):
+        # the saturation/hue HSV round-trips are served by the native C++
+        # runtime when built (66.6 -> ~3 ms per 512² sample; bit-parity
+        # pinned by tests/test_native/), numpy otherwise
         rng = _rng(results)
         img = results['img'].astype(np.uint8)
 
@@ -349,16 +377,12 @@ class PhotoMetricDistortion:
         if mode == 1:
             img = contrast(img)
         if coin():
-            hsv = _rgb_to_hsv_cv(img)
-            hsv[..., 1] = self._convert(
-                hsv[..., 1], alpha=float(rng.uniform(
-                    self.saturation_lower, self.saturation_upper)))
-            img = _hsv_to_rgb_cv(hsv)
+            img = self._saturate(
+                img, float(rng.uniform(self.saturation_lower,
+                                       self.saturation_upper)))
         if coin():
-            hsv = _rgb_to_hsv_cv(img)
-            hsv[..., 0] = (hsv[..., 0].astype(int) + int(
-                rng.integers(-self.hue_delta, self.hue_delta + 1))) % 180
-            img = _hsv_to_rgb_cv(hsv)
+            img = self._hue(img, int(rng.integers(-self.hue_delta,
+                                                  self.hue_delta + 1)))
         if mode == 0:
             img = contrast(img)
         results['img'] = img
@@ -377,7 +401,17 @@ class Normalize:
         self.to_rgb = to_rgb
 
     def __call__(self, results):
-        img = results['img'].astype(np.float32)
+        img = results['img']
+        if self.to_rgb and img.dtype == np.uint8 and img.ndim == 3 \
+                and img.shape[-1] == 3:
+            from s4former_tpu import native
+            out = native.normalize_f32(img, self.mean, self.std)
+            if out is not None:
+                results['img'] = out
+                results['img_norm_cfg'] = dict(
+                    mean=self.mean, std=self.std, to_rgb=self.to_rgb)
+                return results
+        img = img.astype(np.float32)
         if not self.to_rgb:
             # caller insists values are BGR-ordered; flip channels
             img = img[..., ::-1]

@@ -81,6 +81,53 @@ def decode_label(data: bytes) -> Optional[np.ndarray]:
     return _wrap(m.decode_label(data))
 
 
+def _u8_buf(img: np.ndarray):
+    return np.ascontiguousarray(img, np.uint8).data
+
+
+def convert_u8(img: np.ndarray, alpha: float = 1.0,
+               beta: float = 0.0) -> Optional[np.ndarray]:
+    """clip(img*alpha + beta, 0, 255) truncated to uint8 (PMD._convert)."""
+    m = _load()
+    if m is None:
+        return None
+    out = np.frombuffer(m.convert_u8(_u8_buf(img), float(alpha),
+                                     float(beta)), np.uint8)
+    return out.reshape(img.shape)
+
+
+def saturation_u8(img: np.ndarray, alpha: float) -> Optional[np.ndarray]:
+    """HSV saturation scale on RGB uint8 [h, w, 3] (cv2 convention)."""
+    m = _load()
+    if m is None:
+        return None
+    out = np.frombuffer(m.saturation_u8(_u8_buf(img), float(alpha)),
+                        np.uint8)
+    return out.reshape(img.shape)
+
+
+def hue_u8(img: np.ndarray, dh: int) -> Optional[np.ndarray]:
+    """HSV hue shift (mod 180) on RGB uint8 [h, w, 3]."""
+    m = _load()
+    if m is None:
+        return None
+    return np.frombuffer(m.hue_u8(_u8_buf(img), int(dh)),
+                         np.uint8).reshape(img.shape)
+
+
+def normalize_f32(img: np.ndarray, mean, std) -> Optional[np.ndarray]:
+    """(u8 RGB - mean) / std -> float32 [h, w, 3]."""
+    m = _load()
+    if m is None or img.dtype != np.uint8 or img.ndim != 3 \
+            or img.shape[-1] != 3:
+        return None
+    mean = [float(x) for x in mean]
+    std = [float(x) for x in std]
+    out = np.frombuffer(m.normalize_f32(_u8_buf(img), *mean, *std),
+                        np.float32)
+    return out.reshape(img.shape)
+
+
 def resize_u8(img: np.ndarray, size_wh: Tuple[int, int],
               nearest: bool = False) -> Optional[np.ndarray]:
     """PIL-semantics resize of a uint8 [h, w] or [h, w, c] array.

@@ -4,7 +4,7 @@
 set -e
 cd "$(dirname "$0")"
 INC=$(python -c "import sysconfig; print(sysconfig.get_paths()['include'])")
-g++ -O2 -shared -fPIC -std=c++17 -Wall \
+g++ -O3 -march=native -shared -fPIC -std=c++17 -Wall \
     -I"$INC" \
     src/s4_native.cpp \
     -ljpeg -lpng -lz \

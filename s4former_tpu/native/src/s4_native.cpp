@@ -349,6 +349,117 @@ void resize_nearest_u8(const uint8_t* in, int in_h, int in_w, int c,
 }
 
 // ---------------------------------------------------------------------
+// PhotoMetricDistortion primitives (cv2-convention HSV), single pass per
+// pixel with no intermediate arrays. Bit-exact contracts with the numpy
+// reference implementations in data/pipelines/transforms.py:270-307
+// (same f32 arithmetic order, np.round = round-half-even = nearbyintf,
+// the uint8 casts in _convert TRUNCATE). These three ops were 74% of the
+// per-sample pipeline cost in numpy (66.6 of 89.6 ms).
+// ---------------------------------------------------------------------
+
+inline uint8_t trunc_clip_u8(float v) {
+  if (v < 0.0f) return 0;
+  if (v > 255.0f) return 255;
+  return static_cast<uint8_t>(v);  // truncation, matching astype(np.uint8)
+}
+
+// uint8 RGB -> cv2-style quantized HSV ints (H in [0,180), S/V in
+// [0,255]) — transforms.py:_rgb_to_hsv_cv semantics.
+inline void px_rgb_to_hsv(uint8_t r8, uint8_t g8, uint8_t b8, int& hh,
+                          int& ss, int& vv) {
+  float r = r8 / 255.0f, g = g8 / 255.0f, b = b8 / 255.0f;
+  float mx = r > g ? (r > b ? r : b) : (g > b ? g : b);
+  float mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
+  float diff = mx - mn;
+  float h = 0.0f;
+  if (diff > 0.0f) {
+    if (mx == r) {
+      // 60*(g-b)/diff is in (-60, 60): the mod-360 reduces to one branch
+      h = 60.0f * (g - b) / diff;
+      if (h < 0.0f) h += 360.0f;
+    } else if (mx == g) {
+      h = 60.0f * (b - r) / diff + 120.0f;
+    } else {
+      h = 60.0f * (r - g) / diff + 240.0f;
+    }
+  }
+  float s = mx > 0.0f ? diff / mx : 0.0f;
+  hh = static_cast<int>(nearbyintf(h / 2.0f)) % 180;  // round-half-even
+  float ssf = nearbyintf(s * 255.0f);
+  ss = ssf < 0 ? 0 : (ssf > 255 ? 255 : static_cast<int>(ssf));
+  float vvf = nearbyintf(mx * 255.0f);
+  vv = vvf < 0 ? 0 : (vvf > 255 ? 255 : static_cast<int>(vvf));
+}
+
+// quantized HSV ints -> uint8 RGB — transforms.py:_hsv_to_rgb_cv.
+inline void px_hsv_to_rgb(int hh, int ss, int vv, uint8_t& r8,
+                          uint8_t& g8, uint8_t& b8) {
+  float h = hh * 2.0f;
+  float s = ss / 255.0f;
+  float v = vv / 255.0f;
+  float c = v * s;
+  float hp = h / 60.0f;  // in [0, 6)
+  int ip = static_cast<int>(hp);
+  // fmodf(hp, 2) == hp - 2*trunc(hp/2), exact in f32 for hp in [0, 6)
+  float x = c * (1.0f - fabsf(hp - 2.0f * (ip / 2) - 1.0f));
+  int idx = ip % 6;
+  float rf = 0, gf = 0, bf = 0;
+  switch (idx) {
+    case 0: rf = c; gf = x; break;
+    case 1: rf = x; gf = c; break;
+    case 2: gf = c; bf = x; break;
+    case 3: gf = x; bf = c; break;
+    case 4: rf = x; bf = c; break;
+    default: rf = c; bf = x; break;
+  }
+  float m = v - c;
+  auto q = [](float f) {
+    float r = nearbyintf(f * 255.0f);
+    return static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
+  };
+  r8 = q(rf + m);
+  g8 = q(gf + m);
+  b8 = q(bf + m);
+}
+
+// img * alpha + beta, truncated-clipped to u8 (PMD._convert).
+void convert_u8(const uint8_t* in, size_t n, float alpha, float beta,
+                uint8_t* out) {
+  for (size_t i = 0; i < n; i++)
+    out[i] = trunc_clip_u8(in[i] * alpha + beta);
+}
+
+// saturation jitter: RGB -> HSV, S *= alpha (truncate-clip), -> RGB.
+void saturation_u8(const uint8_t* in, size_t npx, float alpha,
+                   uint8_t* out) {
+  for (size_t i = 0; i < npx; i++) {
+    int hh, ss, vv;
+    px_rgb_to_hsv(in[i * 3], in[i * 3 + 1], in[i * 3 + 2], hh, ss, vv);
+    ss = trunc_clip_u8(ss * alpha);
+    px_hsv_to_rgb(hh, ss, vv, out[i * 3], out[i * 3 + 1], out[i * 3 + 2]);
+  }
+}
+
+// hue jitter: RGB -> HSV, H = (H + dh) mod 180, -> RGB.
+void hue_u8(const uint8_t* in, size_t npx, int dh, uint8_t* out) {
+  for (size_t i = 0; i < npx; i++) {
+    int hh, ss, vv;
+    px_rgb_to_hsv(in[i * 3], in[i * 3 + 1], in[i * 3 + 2], hh, ss, vv);
+    hh = ((hh + dh) % 180 + 180) % 180;
+    px_hsv_to_rgb(hh, ss, vv, out[i * 3], out[i * 3 + 1], out[i * 3 + 2]);
+  }
+}
+
+// (img - mean) / std on u8 RGB -> f32 (Normalize fast path).
+void normalize_f32(const uint8_t* in, size_t npx, const float mean[3],
+                   const float std3[3], float* out) {
+  // true division (not reciprocal-multiply) for bit parity with numpy
+  for (size_t i = 0; i < npx; i++)
+    for (int c = 0; c < 3; c++)
+      out[i * 3 + c] = (in[i * 3 + c] - mean[c]) / std3[c];
+}
+
+// ---------------------------------------------------------------------
 // Python bindings (no numpy C API: bytearray + shape tuples)
 // ---------------------------------------------------------------------
 
@@ -440,7 +551,90 @@ PyObject* py_resize_nearest(PyObject* self, PyObject* args) {
   return py_resize(self, args, false);
 }
 
+PyObject* py_convert_u8(PyObject*, PyObject* args) {
+  Py_buffer view;
+  float alpha, beta;
+  if (!PyArg_ParseTuple(args, "y*ff", &view, &alpha, &beta))
+    return nullptr;
+  std::vector<uint8_t> out(static_cast<size_t>(view.len));
+  const uint8_t* in = static_cast<const uint8_t*>(view.buf);
+  Py_BEGIN_ALLOW_THREADS
+  convert_u8(in, out.size(), alpha, beta, out.data());
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&view);
+  return PyByteArray_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size()));
+}
+
+PyObject* py_sat_or_hue(PyObject* args, bool sat) {
+  Py_buffer view;
+  float alpha = 1.0f;
+  int dh = 0;
+  bool ok = sat ? PyArg_ParseTuple(args, "y*f", &view, &alpha)
+                : PyArg_ParseTuple(args, "y*i", &view, &dh);
+  if (!ok) return nullptr;
+  if (view.len % 3 != 0) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "expected RGB buffer");
+    return nullptr;
+  }
+  size_t npx = static_cast<size_t>(view.len) / 3;
+  std::vector<uint8_t> out(static_cast<size_t>(view.len));
+  const uint8_t* in = static_cast<const uint8_t*>(view.buf);
+  Py_BEGIN_ALLOW_THREADS
+  if (sat)
+    saturation_u8(in, npx, alpha, out.data());
+  else
+    hue_u8(in, npx, dh, out.data());
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&view);
+  return PyByteArray_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size()));
+}
+
+PyObject* py_saturation_u8(PyObject*, PyObject* args) {
+  return py_sat_or_hue(args, true);
+}
+
+PyObject* py_hue_u8(PyObject*, PyObject* args) {
+  return py_sat_or_hue(args, false);
+}
+
+PyObject* py_normalize(PyObject*, PyObject* args) {
+  Py_buffer view;
+  float m0, m1, m2, s0, s1, s2;
+  if (!PyArg_ParseTuple(args, "y*ffffff", &view, &m0, &m1, &m2, &s0, &s1,
+                        &s2))
+    return nullptr;
+  if (view.len % 3 != 0) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "expected RGB buffer");
+    return nullptr;
+  }
+  size_t npx = static_cast<size_t>(view.len) / 3;
+  std::vector<float> out(npx * 3);
+  const uint8_t* in = static_cast<const uint8_t*>(view.buf);
+  float mean[3] = {m0, m1, m2}, std3[3] = {s0, s1, s2};
+  Py_BEGIN_ALLOW_THREADS
+  normalize_f32(in, npx, mean, std3, out.data());
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&view);
+  return PyByteArray_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size() * sizeof(float)));
+}
+
 PyMethodDef methods[] = {
+    {"convert_u8", py_convert_u8, METH_VARARGS,
+     "convert_u8(buf, alpha, beta) -> bytearray; u8 = clip(u8*a+b)"},
+    {"saturation_u8", py_saturation_u8, METH_VARARGS,
+     "saturation_u8(rgb_buf, alpha) -> bytearray; HSV S-channel scale"},
+    {"hue_u8", py_hue_u8, METH_VARARGS,
+     "hue_u8(rgb_buf, dh) -> bytearray; HSV H-channel shift (cv2 conv)"},
+    {"normalize_f32", py_normalize, METH_VARARGS,
+     "normalize_f32(rgb_u8, m0,m1,m2, s0,s1,s2) -> f32 bytearray"},
     {"decode_rgb", py_decode_rgb, METH_VARARGS,
      "decode_rgb(bytes) -> (bytearray, h, w, 3); JPEG/PNG to RGB u8"},
     {"decode_label", py_decode_label, METH_VARARGS,

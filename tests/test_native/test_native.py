@@ -157,3 +157,88 @@ def test_pipeline_uses_native_transparently(tmp_path):
             os.environ['S4_NATIVE'] = old
     assert np.array_equal(i1, i2)
     assert np.array_equal(l1, l2)
+
+
+# ---- PhotoMetricDistortion primitives (bit-parity with the numpy
+# reference implementations; these ops were 74% of the pipeline cost)
+
+def _np_sat(img, alpha):
+    from s4former_tpu.data.pipelines.transforms import (_hsv_to_rgb_cv,
+                                                        _rgb_to_hsv_cv)
+    hsv = _rgb_to_hsv_cv(img)
+    hsv[..., 1] = np.clip(hsv[..., 1].astype(np.float32) * alpha,
+                          0, 255).astype(np.uint8)
+    return _hsv_to_rgb_cv(hsv)
+
+
+def _np_hue(img, dh):
+    from s4former_tpu.data.pipelines.transforms import (_hsv_to_rgb_cv,
+                                                        _rgb_to_hsv_cv)
+    hsv = _rgb_to_hsv_cv(img)
+    hsv[..., 0] = (hsv[..., 0].astype(int) + dh) % 180
+    return _hsv_to_rgb_cv(hsv)
+
+
+@pytest.mark.parametrize('alpha,beta', [(1.0, 17.3), (0.5, 0.0),
+                                        (1.49, -20.0), (1.5, 32.0)])
+def test_convert_u8_parity(alpha, beta):
+    img = RNG.randint(0, 256, (31, 47, 3), np.uint8)
+    ref = np.clip(img.astype(np.float32) * alpha + beta,
+                  0, 255).astype(np.uint8)
+    assert np.array_equal(native.convert_u8(img, alpha, beta), ref)
+
+
+@pytest.mark.parametrize('alpha', [0.5, 0.77, 1.0, 1.31, 1.5])
+def test_saturation_u8_parity(alpha):
+    img = RNG.randint(0, 256, (29, 41, 3), np.uint8)
+    assert np.array_equal(native.saturation_u8(img, alpha),
+                          _np_sat(img, alpha))
+
+
+@pytest.mark.parametrize('dh', [-18, -1, 0, 7, 17])
+def test_hue_u8_parity(dh):
+    img = RNG.randint(0, 256, (29, 41, 3), np.uint8)
+    assert np.array_equal(native.hue_u8(img, dh), _np_hue(img, dh))
+
+
+def test_hsv_edge_cases():
+    # grayscale (diff=0), primaries, near-black
+    edges = np.array([[[0, 0, 0], [255, 255, 255], [255, 0, 0],
+                       [0, 255, 0], [0, 0, 255], [128, 128, 128],
+                       [255, 255, 0], [1, 0, 0], [254, 255, 255]]],
+                     np.uint8)
+    for dh in (-18, 7):
+        assert np.array_equal(native.hue_u8(edges, dh), _np_hue(edges, dh))
+    for a in (0.5, 1.5):
+        assert np.array_equal(native.saturation_u8(edges, a),
+                              _np_sat(edges, a))
+
+
+def test_normalize_f32_parity():
+    img = RNG.randint(0, 256, (23, 37, 3), np.uint8)
+    mean = np.asarray([123.675, 116.28, 103.53], np.float32)
+    std = np.asarray([58.395, 57.12, 57.375], np.float32)
+    ref = (img.astype(np.float32) - mean) / std
+    got = native.normalize_f32(img, mean, std)
+    assert np.array_equal(got, ref)
+
+
+def test_pmd_transform_native_off_on_identical():
+    """PhotoMetricDistortion output is identical with the native path
+    forced off (same RNG draws, bit-equal pixels)."""
+    from s4former_tpu.data.pipelines.transforms import \
+        PhotoMetricDistortion
+    img = RNG.randint(0, 256, (40, 56, 3), np.uint8)
+
+    def run():
+        t = PhotoMetricDistortion()
+        r = {'img': img.copy(), 'rng': np.random.default_rng(5)}
+        return t(r)['img']
+
+    on = run()
+    saved, native._mod = native._mod, None
+    try:
+        off = run()
+    finally:
+        native._mod = saved
+    assert np.array_equal(on, off)
