@@ -30,12 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BLK_Q = 256
 # measured on v5e at L=1025/d=64: a single full-K block (no online-softmax
 # loop) runs the fwd+bwd 1.8x faster than XLA attention; k is chunked only
 # beyond FULL_K_MAX (VMEM budget). blk_k must be a multiple of 128.
+# None = adaptive: ONE q block spanning the whole padded sequence when the
+# f32 score tile fits VMEM (round-2 sweep at L=1025: fwd 2.35 vs 2.49 ms,
+# grad 3.83 vs 4.35, and 24% faster fwd with the PASA bias), else 256.
+DEFAULT_BLK_Q = None
 DEFAULT_BLK_K = None  # None = full padded K in one block
 FULL_K_MAX = 4608
+# largest single-q-block seq: blk_q*blk_k f32 scores must fit VMEM
+FULL_Q_MAX = 1536
 NEG_INF = -1e30
 
 
@@ -368,7 +373,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q: Array, k: Array, v: Array,
                     bias: Optional[Array] = None,
-                    blk_q: int = DEFAULT_BLK_Q,
+                    blk_q: Optional[int] = DEFAULT_BLK_Q,
                     blk_k: Optional[int] = DEFAULT_BLK_K,
                     interpret: Optional[bool] = None,
                     bias_differentiable: bool = False) -> Array:
@@ -397,6 +402,12 @@ def flash_attention(q: Array, k: Array, v: Array,
     if blk_k is None:
         lp128 = _cdiv(l, 128) * 128
         blk_k = lp128 if lp128 <= FULL_K_MAX else 576
+    if blk_q is None:
+        # single q block only without a bias: the f32 bias tile plus the
+        # score/exp tiles exceed the 16M scoped-VMEM limit inside the
+        # scanned train step (measured: 19.88M at L=1152 with bias)
+        lp128 = _cdiv(l, 128) * 128
+        blk_q = lp128 if (lp128 <= FULL_Q_MAX and bias is None) else 256
     blk = max(128, blk_k if blk_k >= blk_q else blk_q)
     # pad so blk_k tiles evenly; q grid handles its own ragged last block
     lp = _cdiv(l, blk_k) * blk_k
