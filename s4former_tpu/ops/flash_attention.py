@@ -395,6 +395,11 @@ def flash_attention(q: Array, k: Array, v: Array,
             'attention-bias scale')
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
+        if q.dtype == jnp.bfloat16:
+            # scores carry bf16 precision anyway (q/k are bf16); a bf16
+            # bias tile halves its VMEM footprint, which is what lets the
+            # single-q-block schedule below fit WITH the PASA bias
+            bias = bias.astype(jnp.bfloat16)
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, l, h, d = q.shape
@@ -403,9 +408,10 @@ def flash_attention(q: Array, k: Array, v: Array,
         lp128 = _cdiv(l, 128) * 128
         blk_k = lp128 if lp128 <= FULL_K_MAX else 576
     if blk_q is None:
-        # single q block only without a bias: the f32 bias tile plus the
-        # score/exp tiles exceed the 16M scoped-VMEM limit inside the
-        # scanned train step (measured: 19.88M at L=1152 with bias)
+        # single q block only without a bias: even with the bf16 bias cast
+        # the BACKWARD kernel's tiles measure 17.07M against the 16M
+        # scoped-VMEM limit at L=1152 (f32 at 19.88M) inside the scanned
+        # train step, so the bias path keeps the 256-row schedule
         lp128 = _cdiv(l, 128) * 128
         blk_q = lp128 if (lp128 <= FULL_Q_MAX and bias is None) else 256
     blk = max(128, blk_k if blk_k >= blk_q else blk_q)
