@@ -350,3 +350,125 @@ def merge_pretrained(variables: Dict, pretrained: Dict,
         if col in out:
             overlay(out[col], pretrained[col], col)
     return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+# --------------------------------------------------------------- export
+# Reverse direction of convert_mmseg_checkpoint: our variables -> a
+# reference-shaped torch state_dict (SURVEY.md §7 hard parts: "checkpoint
+# compat BOTH directions"). Lets reference tooling (mmseg test.py, the
+# paper's eval scripts) consume checkpoints trained here, and closes the
+# cross-validation loop: convert(export(v)) == v (tested).
+
+def export_vit_backbone(p: Dict) -> Dict[str, np.ndarray]:
+    """Our stacked-scan ViT params subtree -> OpenMMLab-layout keys
+    (without the 'backbone.' prefix). Exact inverse of
+    convert_vit_backbone."""
+    sd: Dict[str, np.ndarray] = {}
+    if 'cls_token' in p:
+        sd['cls_token'] = np.asarray(p['cls_token'])
+    if 'pos_embed' in p:
+        sd['pos_embed'] = np.asarray(p['pos_embed'])
+    if 'patch_embed' in p:
+        sd['patch_embed.projection.weight'] = np.transpose(
+            np.asarray(p['patch_embed']['kernel']), (3, 2, 0, 1))
+        sd['patch_embed.projection.bias'] = np.asarray(
+            p['patch_embed']['bias'])
+    if 'layers' in p:
+        blk = p['layers']['block']
+        n = np.asarray(blk['ln1']['scale']).shape[0]
+        for i in range(n):
+            pre = f'layers.{i}.'
+            sd[pre + 'ln1.weight'] = np.asarray(blk['ln1']['scale'][i])
+            sd[pre + 'ln1.bias'] = np.asarray(blk['ln1']['bias'][i])
+            sd[pre + 'ln2.weight'] = np.asarray(blk['ln2']['scale'][i])
+            sd[pre + 'ln2.bias'] = np.asarray(blk['ln2']['bias'][i])
+            sd[pre + 'attn.attn.in_proj_weight'] = np.asarray(
+                blk['attn']['qkv']['kernel'][i]).T
+            sd[pre + 'attn.attn.in_proj_bias'] = np.asarray(
+                blk['attn']['qkv']['bias'][i])
+            sd[pre + 'attn.attn.out_proj.weight'] = np.asarray(
+                blk['attn']['proj']['kernel'][i]).T
+            sd[pre + 'attn.attn.out_proj.bias'] = np.asarray(
+                blk['attn']['proj']['bias'][i])
+            sd[pre + 'ffn.layers.0.0.weight'] = np.asarray(
+                blk['ffn']['fc1']['kernel'][i]).T
+            sd[pre + 'ffn.layers.0.0.bias'] = np.asarray(
+                blk['ffn']['fc1']['bias'][i])
+            sd[pre + 'ffn.layers.1.weight'] = np.asarray(
+                blk['ffn']['fc2']['kernel'][i]).T
+            sd[pre + 'ffn.layers.1.bias'] = np.asarray(
+                blk['ffn']['fc2']['bias'][i])
+    return sd
+
+
+def export_setr_up_head(p: Dict, bs: Dict, prefix: str = ''
+                        ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_setr_up_head."""
+    sd: Dict[str, np.ndarray] = {}
+    if 'norm' in p:
+        sd[prefix + 'norm.weight'] = np.asarray(p['norm']['scale'])
+        sd[prefix + 'norm.bias'] = np.asarray(p['norm']['bias'])
+    i = 0
+    while f'up_convs_{i}' in p:
+        c = p[f'up_convs_{i}']
+        sd[prefix + f'up_convs.{i}.0.conv.weight'] = np.transpose(
+            np.asarray(c['conv']['kernel']), (3, 2, 0, 1))
+        sd[prefix + f'up_convs.{i}.0.bn.weight'] = np.asarray(
+            c['bn']['scale'])
+        sd[prefix + f'up_convs.{i}.0.bn.bias'] = np.asarray(c['bn']['bias'])
+        b = bs.get(f'up_convs_{i}', {}).get('bn', {})
+        if b:
+            sd[prefix + f'up_convs.{i}.0.bn.running_mean'] = np.asarray(
+                b['mean'])
+            sd[prefix + f'up_convs.{i}.0.bn.running_var'] = np.asarray(
+                b['var'])
+        i += 1
+    if 'conv_seg' in p:
+        sd[prefix + 'conv_seg.weight'] = np.transpose(
+            np.asarray(p['conv_seg']['kernel']), (3, 2, 0, 1))
+        sd[prefix + 'conv_seg.bias'] = np.asarray(p['conv_seg']['bias'])
+    return sd
+
+
+def export_reference_state_dict(variables: Dict,
+                                path: Optional[str] = None) -> Dict:
+    """Our variables (params/batch_stats[/ema_*]) -> flat reference-layout
+    state_dict; saved with torch.save when ``path`` is given (loadable by
+    the reference's load_checkpoint / tools/test.py)."""
+    params = variables.get('params', variables)
+    bs = variables.get('batch_stats', {})
+    sd: Dict[str, np.ndarray] = {}
+    if 'backbone_m' in params:
+        for k, v in export_vit_backbone(params['backbone_m']).items():
+            sd['backbone.' + k] = v
+    if 'decode_head_m' in params:
+        sd.update(export_setr_up_head(
+            params['decode_head_m'], bs.get('decode_head_m', {}),
+            'decode_head.'))
+    if 'aux_heads' in params:
+        stacked_p = params['aux_heads']['head']
+        stacked_b = bs.get('aux_heads', {}).get('head', {})
+        n = np.asarray(jax.tree_util.tree_leaves(stacked_p)[0]).shape[0]
+        for j in range(n):
+            pj = jax.tree_util.tree_map(lambda x: np.asarray(x)[j],
+                                        stacked_p)
+            bj = jax.tree_util.tree_map(lambda x: np.asarray(x)[j],
+                                        stacked_b)
+            sd.update(export_setr_up_head(pj, bj, f'auxiliary_head.{j}.'))
+    for src, dst in (('ema_params', ''), ):
+        ema = variables.get(src)
+        if ema:
+            ebs = variables.get('ema_batch_stats', {})
+            if 'backbone_m' in ema:
+                for k, v in export_vit_backbone(ema['backbone_m']).items():
+                    sd['backbone_ema.' + k] = v
+            if 'decode_head_m' in ema:
+                sd.update(export_setr_up_head(
+                    ema['decode_head_m'], ebs.get('decode_head_m', {}),
+                    'decode_head_ema.'))
+    if path is not None:
+        import torch
+        torch.save({'state_dict': {k: torch.from_numpy(
+            np.ascontiguousarray(v)) for k, v in sd.items()},
+            'meta': {'exported_by': 's4former_tpu'}}, path)
+    return sd

@@ -135,3 +135,49 @@ def test_pos_embed_resize_on_load():
         {k[len('backbone.'):]: v for k, v in sd.items()
          if k.startswith('backbone.')}, num_layers=2, dst_grid=(8, 8))[0]
     assert out['pos_embed'].shape == (1, 65, 32)
+
+
+def test_export_roundtrip_reference_state_dict(tmp_path):
+    """convert(export(v)) == v: our variables survive a trip through the
+    reference torch layout (SURVEY §7 'checkpoint compat both
+    directions'), including the torch.save file format."""
+    import jax
+    import numpy as np
+    from s4former_tpu.core.checkpoint import (convert_mmseg_checkpoint,
+                                              export_reference_state_dict,
+                                              load_torch_state_dict)
+    from s4former_tpu.models import (build_segmentor,
+                                     init_segmentor_variables)
+    model = build_segmentor(dict(
+        type='EncoderDecoder',
+        backbone=dict(type='VisionTransformer', img_size=(64, 64),
+                      patch_size=16, embed_dims=32, num_layers=2,
+                      num_heads=4, out_indices=(0, 1), use_flash=False),
+        decode_head=dict(type='SETRUPHead', in_channels=32, channels=16,
+                         num_classes=5, in_index=1, num_convs=2,
+                         up_scale=2),
+        auxiliary_head=[
+            dict(type='SETRUPHead', in_channels=32, channels=16,
+                 num_classes=5, in_index=0, num_convs=1, up_scale=4)
+            for _ in range(2)]))
+    v = init_segmentor_variables(model, jax.random.PRNGKey(3), (1, 64, 64, 3))
+    path = str(tmp_path / 'export.pth')
+    export_reference_state_dict(v, path)
+    sd = load_torch_state_dict(path)
+    assert 'backbone.layers.1.ffn.layers.1.weight' in sd
+    assert 'auxiliary_head.1.conv_seg.weight' in sd
+    back = convert_mmseg_checkpoint(sd, num_layers=2, num_aux=2)
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(
+        {'params': v['params'], 'batch_stats': v['batch_stats']})[0]
+    orig = {jax.tree_util.keystr(k): np.asarray(x) for k, x in flat_orig}
+    flat_back = jax.tree_util.tree_flatten_with_path(back)[0]
+    n_checked = 0
+    for k, x in flat_back:
+        ks = jax.tree_util.keystr(k)
+        if 'aux_heads_' in ks:  # unstacked duplicate layout, skip
+            continue
+        assert ks in orig, ks
+        np.testing.assert_array_equal(np.asarray(x), orig[ks], err_msg=ks)
+        n_checked += 1
+    assert n_checked > 30  # backbone + head + stacked aux all covered

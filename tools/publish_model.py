@@ -13,6 +13,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('in_ckpt', help='orbax checkpoint dir')
     parser.add_argument('out_ckpt', help='output dir prefix')
+    parser.add_argument('--to-pth', action='store_true',
+                        help='also write a reference-layout torch '
+                             'state_dict next to the published dir '
+                             '(loadable by mmseg tools)')
     args = parser.parse_args()
 
     import jax
@@ -32,6 +36,11 @@ def main():
     out = f'{osp.abspath(args.out_ckpt)}-{h.hexdigest()[:8]}'
     shutil.move(tmp, out)
     print(f'published {out}')
+    if args.to_pth:
+        from s4former_tpu.core.checkpoint import export_reference_state_dict
+        pth = out + '.pth'
+        export_reference_state_dict(slim, pth)
+        print(f'exported reference-layout state_dict {pth}')
 
 
 if __name__ == '__main__':
