@@ -20,6 +20,34 @@ train_pipeline = [
     dict(type='Collect', keys=['img', 'gt_semantic_seg']),
 ]
 
+# unsupervised stream: shared geometric augs, then weak (teacher) /
+# strong (student) photometric branches via MultiBranch — the tags drive
+# the loader's batch keys (reference dataset config :106-119)
+strong_pipeline = [
+    dict(type='PhotoMetricDistortion'),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size=crop_size, pad_val=0, seg_pad_val=255),
+    dict(type='ExtraAttrs', tag='unsup_student'),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+]
+weak_pipeline = [
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size=crop_size, pad_val=0, seg_pad_val=255),
+    dict(type='ExtraAttrs', tag='unsup_teacher'),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+]
+unsup_train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations'),
+    dict(type='Resize', img_scale=img_scale, ratio_range=(0.5, 2.0)),
+    dict(type='RandomCrop', crop_size=crop_size, cat_max_ratio=0.75),
+    dict(type='RandomFlip', prob=0.5),
+    dict(type='MultiBranch', unsup_student=strong_pipeline,
+         unsup_teacher=weak_pipeline),
+]
+
 test_pipeline = [
     dict(type='LoadImageFromFile'),
     dict(
@@ -53,7 +81,7 @@ data = dict(
             data_root=data_root,
             img_dir='JPEGImages',
             ann_dir='SegmentationClassAug',
-            pipeline=train_pipeline,
+            pipeline=unsup_train_pipeline,
             split='datasplits/voc_split_U2PL/92_train_unsupervised.txt',
         )),
     val=dict(

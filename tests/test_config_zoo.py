@@ -59,3 +59,26 @@ def test_base_model_tiny_forward(name):
     out = model.apply(variables, img, train=False)
     assert out.shape[0] == 1 and out.shape[-1] == 19
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_semi_dataset_configs_emit_unsup_branches():
+    """Regression: the semi dataset configs MUST route the unsup source
+    through MultiBranch with unsup_student/unsup_teacher tags — a
+    sup-tagged unsup pipeline silently stacks unlabeled images (and their
+    GT!) into the supervised batch and the semi branch never runs."""
+    for name in ('pascal_voc12_aug_1over16_split_classic_semi.py',
+                 'cityscapes_768x768_1over16_split_CPS_semi.py'):
+        cfg = Config.fromfile(
+            osp.join(REPO, 'configs', '_base_', 'datasets', name))
+        unsup_pipe = cfg.data['train']['unsup']['pipeline']
+        mb = [t for t in unsup_pipe if t['type'] == 'MultiBranch']
+        assert len(mb) == 1, name
+        branches = {k: v for k, v in mb[0].items() if k != 'type'}
+        assert set(branches) == {'unsup_student', 'unsup_teacher'}, name
+        for bname, bpipe in branches.items():
+            tags = [t['tag'] for t in bpipe if t['type'] == 'ExtraAttrs']
+            assert tags == [bname], (name, bname)
+        # and the sup pipeline stays sup-tagged
+        sup_tags = [t['tag'] for t in cfg.data['train']['sup']['pipeline']
+                    if t['type'] == 'ExtraAttrs']
+        assert sup_tags == ['sup'], name
