@@ -154,6 +154,11 @@ class MixVisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # PASA flags (reference passes them per-forward from the segmentor,
+    # mit.py:460; here they are module config, propagated from the
+    # segmentor cfg by build_segmentor)
+    attn_mask_weight: float = 1.0
+    adaptive_attn_mask: bool = False
     # parity/no-op config keys
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
@@ -167,11 +172,15 @@ class MixVisionTransformer(nn.Module):
                  pos_mode: str = 'default',
                  use_fdrop: bool = False,
                  return_attn: bool = False):
-        """``attn_bias`` here is the PASA per-pixel UNCONFIDENCE map
-        [B, H, W] in [0, 1] at input resolution, pre-scaled by
-        attn_mask_weight and pre-inverted for the adaptive variant by
-        ``semi.pasa.mit_bias_map`` — each sr_ratio==1 stage pools it to
-        its own grid and broadcasts rows (key-dependent bias).
+        """``attn_bias`` here is the RAW PASA per-pixel UNCONFIDENCE map
+        [B, H, W] in [0, 1] at input resolution (NOT the ViT token-bias):
+        each sr_ratio==1 stage pools it to its own token grid and builds
+        its bias via ``semi.pasa.mit_stage_bias`` (scaling by
+        ``attn_mask_weight`` and the reference's inverted adaptive
+        variant, mit.py:464-475). Stages with sr_ratio > 1 skip the bias —
+        documented divergence: the reference passes one full-resolution
+        [B, L, L] mask to every stage, whose shape can only match the
+        sr==1 stage (mit.py:477-483).
         """
         del pos_mode  # MiT has no positional embedding (conv pos enc)
         dims = [self.embed_dims * m for m in (1, 2, 5, 8)][:self.num_stages]
@@ -186,15 +195,15 @@ class MixVisionTransformer(nn.Module):
                 dtype=self.dtype, name=f'patch_embed_{s}')(x)
             bias = None
             if attn_bias is not None and self.sr_ratios[s] == 1:
+                from s4former_tpu.semi.pasa import mit_stage_bias
                 b = attn_bias.shape[0]
                 ph = attn_bias.shape[1] // hw[0]
                 pw = attn_bias.shape[2] // hw[1]
                 vec = jnp.mean(
                     attn_bias.reshape(b, hw[0], ph, hw[1], pw),
                     axis=(2, 4)).reshape(b, hw[0] * hw[1])
-                bias = jnp.broadcast_to(
-                    vec[:, None, None, :],
-                    (b, 1, vec.shape[1], vec.shape[1]))
+                bias = mit_stage_bias(vec, self.attn_mask_weight,
+                                      self.adaptive_attn_mask)
             for blk in range(self.num_layers[s]):
                 tokens = MiTBlock(
                     dims[s], self.num_heads[s], self.mlp_ratio,

@@ -232,6 +232,16 @@ def build_segmentor(cfg: Dict) -> EncoderDecoder:
     cfg.pop('train_cfg', None)
     cfg.pop('test_cfg', None)
     cfg.pop('init_cfg', None)
+    # MiT consumes the PASA flags as module config (the reference passes
+    # them per-forward from the segmentor, mit.py:460); propagate them
+    # from the reference-shaped segmentor cfg into the backbone cfg
+    bb = cfg.get('backbone')
+    if isinstance(bb, dict) and bb.get('type') == 'MixVisionTransformer':
+        for k in ('attn_mask_weight', 'adaptive_attn_mask'):
+            if k in cfg and k not in bb:
+                bb = dict(bb)
+                bb[k] = cfg[k]
+        cfg['backbone'] = bb
     # EMA twins share the student architecture; their config entries are
     # redundant here (reference builds detached copies,
     # encoder_decoder.py:180-214 — in JAX the teacher is just a second

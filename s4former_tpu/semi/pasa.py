@@ -86,3 +86,35 @@ def pasa_bias_from_conf_mask(conf_mask: Array,
     """Full pipeline: image-resolution confidence mask -> attention bias."""
     unconf = patch_unconfidence(conf_mask, patch_size)
     return build_pasa_bias(unconf, attn_mask_weight, adaptive, with_cls_token)
+
+
+def mit_stage_bias(unconf: Array, attn_mask_weight: float,
+                   adaptive: bool) -> Array:
+    """MiT per-stage PASA bias from POOLED per-token unconfidence
+    (reference mit.py:464-475). ``unconf`` [B, L] in [0, 1] ->
+    [B, 1, L, L] additive bias.
+
+    Non-adaptive: every query row equals the key-unconfidence vector.
+    Adaptive: the key vector is INVERTED (1 - unconf = confidence,
+    mit.py:470 ``attn_mask_A = 1 - attn_mask_A``) and the query rows of
+    the most-confident half of tokens are zeroed. The reference computes
+    the top-k over ``attn_mask[:, 1:]`` but indexes rows with the SLICE
+    positions (no +1 — a ViT-cls leftover, mit.py:469-471); replicated
+    as-is and documented.
+    """
+    b, l = unconf.shape
+    if adaptive:
+        vec = 1.0 - unconf
+        bias = jnp.broadcast_to(vec[:, None, :], (b, l, l))
+        k = int(0.5 * (l - 1))
+        sliced = unconf[:, 1:]
+        order = jnp.argsort(sliced, axis=1)   # ascending: most confident
+        ranks = jnp.argsort(order, axis=1)
+        zero_slice = ranks < k                # positions within the slice
+        row_zero = jnp.concatenate(
+            [zero_slice, jnp.zeros((b, 1), bool)], axis=1)  # ref quirk:
+        # slice positions used as row indices directly (rows 0..l-2)
+        bias = jnp.where(row_zero[:, :, None], 0.0, bias)
+    else:
+        bias = jnp.broadcast_to(unconf[:, None, :], (b, l, l))
+    return (bias * attn_mask_weight)[:, None, :, :]

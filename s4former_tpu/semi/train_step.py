@@ -220,6 +220,11 @@ def make_semi_train_step(model,
     main_loss, aux_losses = _head_loss_fns(model)
     if custom_keys is None:
         custom_keys = {'head': 10.0}
+    # MiT PASA uses a raw unconfidence MAP whose "no bias" is NOT a zero
+    # tensor under the adaptive inversion, so the 2B-batch fusion trick
+    # (zero bias for the mixed half) only applies to the ViT token-bias
+    mit_backbone = isinstance(model.backbone, dict) and \
+        model.backbone.get('type') == 'MixVisionTransformer'
 
     def train_step(state: TrainState, batch: Dict[str, Array],
                    rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
@@ -304,15 +309,33 @@ def make_semi_train_step(model,
 
             if cfg.attn_mask_seperate_head or cfg.use_attn_mask_inline:
                 # separate-head PASA (":547-567") or inline PASA (":656-675").
-                # The conf mask lives at head-output resolution; pool it to
-                # the backbone token grid (the reference hardcodes 16 for
-                # ViT / 8 for MiT, encoder_decoder.py:548-553 — deriving it
-                # from shapes covers both).
-                grid_h = batch['unsup_teacher_img'].shape[1] // patch_size
-                attn_ps = teacher.conf_mask.shape[1] // grid_h
-                pasa_bias = pasa_bias_from_conf_mask(
-                    teacher.conf_mask, attn_ps,
-                    cfg.attn_mask_weight, cfg.adaptive_attn_mask)
+                bb_cfg = model.backbone if isinstance(model.backbone, dict) \
+                    else {}
+                if bb_cfg.get('type') == 'MixVisionTransformer':
+                    # MiT consumes the RAW per-pixel unconfidence map at
+                    # input resolution and builds per-stage biases itself
+                    # (mit.py; weight/adaptivity are module config) — the
+                    # conf mask must be lifted from head-output to image
+                    # resolution first
+                    unconf = 1.0 - teacher.conf_mask.astype(jnp.float32)
+                    img_hw = batch['unsup_teacher_img'].shape[1:3]
+                    if unconf.shape[1:3] != img_hw:
+                        from s4former_tpu.ops.resize import resize_nearest
+                        unconf = resize_nearest(unconf[..., None],
+                                                img_hw)[..., 0]
+                    pasa_bias = unconf
+                else:
+                    # ViT: [B, 1, L+1, L+1] additive token bias. The conf
+                    # mask lives at head-output resolution; pool it to the
+                    # backbone token grid (the reference hardcodes 16 for
+                    # ViT / 8 for MiT, encoder_decoder.py:548-553 —
+                    # deriving it from shapes covers both).
+                    grid_h = batch['unsup_teacher_img'].shape[1] \
+                        // patch_size
+                    attn_ps = teacher.conf_mask.shape[1] // grid_h
+                    pasa_bias = pasa_bias_from_conf_mask(
+                        teacher.conf_mask, attn_ps,
+                        cfg.attn_mask_weight, cfg.adaptive_attn_mask)
 
             if has_unimatch:
                 t_mix_logits = jax.lax.stop_gradient(model.apply(
@@ -425,7 +448,7 @@ def make_semi_train_step(model,
                     losses[f'unsup.{kk}'] = vv * logs_w
             elif has_unsup and cfg.fuse_unsup_passes and \
                     cfg.attn_mask_seperate_head and not cfg.use_fdrop and \
-                    not cfg.attn_mask_w_fdrop:
+                    not cfg.attn_mask_w_fdrop and not mit_backbone:
                 # FUSED unsup branch: PASA pass (unmixed strong images +
                 # bias) and the final pass (mixed images, PatchShuffle
                 # undo) run as one 2B-batch forward. Per-sample math
