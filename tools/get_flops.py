@@ -38,11 +38,19 @@ def main():
         return model.apply(variables, img, train=False)
 
     lowered = jax.jit(fwd).lower(jnp.zeros((1, h, w, 3), jnp.float32))
-    compiled = lowered.compile()
-    analysis = compiled.cost_analysis()
-    if isinstance(analysis, list):
-        analysis = analysis[0]
-    flops = analysis.get('flops', float('nan')) if analysis else float('nan')
+
+    def _flops_from(analysis):
+        if isinstance(analysis, list):
+            analysis = analysis[0] if analysis else None
+        if not analysis:
+            return float('nan')
+        return float(analysis.get('flops', float('nan')))
+
+    # the remote-compile TPU backend reports no cost analysis; the
+    # HLO-level (pre-compile) analysis works everywhere
+    flops = _flops_from(lowered.cost_analysis())
+    if not np.isfinite(flops) or flops <= 0:
+        flops = _flops_from(lowered.compile().cost_analysis())
     print('=' * 60)
     print(f'Input shape: (1, {h}, {w}, 3)')
     print(f'Params: {n_params / 1e6:.2f} M')

@@ -66,9 +66,13 @@ def main():
 
     dataset = build_dataset(cfg.data['test'])
     n_cls = len(dataset.CLASSES)
-    test_mode = (cfg.model.get('test_cfg') or {}).get('mode', 'whole')
-    stride = tuple((cfg.model.get('test_cfg') or {}).get(
-        'stride', (341, 341)))
+    test_cfg = cfg.model.get('test_cfg') or {}
+    test_mode = test_cfg.get('mode', 'whole')
+    # slide geometry comes from test_cfg (reference encoder_decoder.py
+    # slide_inference reads self.test_cfg.crop_size/stride); the config's
+    # train crop_size is only the init shape fallback
+    crop = tuple(test_cfg.get('crop_size', crop))
+    stride = tuple(test_cfg.get('stride', (341, 341)))
 
     # Reference semantics (encoder_decoder.py:1118-1172): LOGITS are
     # bilinearly resized to ori_shape BEFORE argmax — identical to the
