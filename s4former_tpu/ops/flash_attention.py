@@ -151,7 +151,11 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
             pltpu.VMEM((blk_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            # the single-(q|k)-block schedule at L=1152 with a bias tile
+            # measures 16.56M against the default 16M scoped-VMEM limit;
+            # v5e has 128M VMEM, so grant the kernels headroom
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return o, lse
@@ -183,15 +187,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * blk_q
     s = jnp.where(row < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])                       # [BLK_Q, BLK_K]
+    # matmul operands in the INPUT dtype (bf16 on TPU) with f32
+    # accumulation: the MXU runs f32xf32 at 1/3 rate, and the low-dtype
+    # p/ds tiles are what keep the kernel under the scoped-VMEM limit
+    p_lo = p.astype(q.dtype)
+    do_lo = do.astype(q.dtype)
     dv_acc[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p_lo, do_lo, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dpv = jax.lax.dot_general(do, v.astype(jnp.float32),
+    dpv = jax.lax.dot_general(do_lo, v,
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    ds = p * (dpv - delta[:, None])
+    ds = (p * (dpv - delta[:, None])).astype(q.dtype)
     dk_acc[:] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
     @pl.when(qb == nqb - 1)
@@ -224,12 +233,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
     s = jnp.where(col < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])
-    dpv = jax.lax.dot_general(do, v.astype(jnp.float32),
+    do_lo = do.astype(q.dtype)
+    dpv = jax.lax.dot_general(do_lo, v,
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    ds = p * (dpv - delta[:, None])
+    ds = (p * (dpv - delta[:, None])).astype(q.dtype)
     dq_acc[:] += jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
     @pl.when(kb == nkb - 1)
@@ -290,7 +300,11 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
         scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
                         pltpu.VMEM((blk_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            # the single-(q|k)-block schedule at L=1152 with a bias tile
+            # measures 16.56M against the default 16M scoped-VMEM limit;
+            # v5e has 128M VMEM, so grant the kernels headroom
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -332,7 +346,11 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            # the single-(q|k)-block schedule at L=1152 with a bias tile
+            # measures 16.56M against the default 16M scoped-VMEM limit;
+            # v5e has 128M VMEM, so grant the kernels headroom
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -408,12 +426,11 @@ def flash_attention(q: Array, k: Array, v: Array,
         lp128 = _cdiv(l, 128) * 128
         blk_k = lp128 if lp128 <= FULL_K_MAX else 576
     if blk_q is None:
-        # single q block only without a bias: even with the bf16 bias cast
-        # the BACKWARD kernel's tiles measure 17.07M against the 16M
-        # scoped-VMEM limit at L=1152 (f32 at 19.88M) inside the scanned
-        # train step, so the bias path keeps the 256-row schedule
+        # one q block spanning the padded sequence (with OR without bias):
+        # the bf16 bwd-matmul operands plus the raised per-kernel
+        # vmem_limit_bytes keep the tiles inside VMEM at L<=FULL_Q_MAX
         lp128 = _cdiv(l, 128) * 128
-        blk_q = lp128 if (lp128 <= FULL_Q_MAX and bias is None) else 256
+        blk_q = lp128 if lp128 <= FULL_Q_MAX else 256
     blk = max(128, blk_k if blk_k >= blk_q else blk_q)
     # pad so blk_k tiles evenly; q grid handles its own ragged last block
     lp = _cdiv(l, blk_k) * blk_k
