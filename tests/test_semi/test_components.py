@@ -214,3 +214,42 @@ def test_feature_contrast_v2_pull_and_negative():
     l2 = feature_contrast_loss_v2(featsr, labr, jnp.asarray(bank), count,
                                   negative=True)
     assert float(l1) > 0 and float(l2) >= float(l1)
+
+
+def _ncr_sup_reference(student, teacher, label, num_classes):
+    """Literal port of the SUP-branch loop (encoder_decoder.py:459-473):
+    per class KL(log student || teacher) summed, PLUS the unconditional
+    pairwise-L2 (the double-pdist quirk), normalized by B*H*W."""
+    s = torch.from_numpy(student)
+    t = torch.from_numpy(teacher)
+    lab = torch.from_numpy(label)
+    pdist = torch.nn.PairwiseDistance(p=2)
+    loss = torch.tensor(0.0)
+    for ci in range(num_classes):
+        sc = s[lab == ci]
+        sc = F.softmax(torch.cat((sc[:, :ci], sc[:, ci + 1:]), dim=1),
+                       dim=1)
+        tc = t[lab == ci]
+        tc = F.softmax(torch.cat((tc[:, :ci], tc[:, ci + 1:]), dim=1),
+                       dim=1)
+        if len(sc) == 0:
+            loss = loss + torch.sum(pdist(sc, tc))
+        else:
+            loss = loss + F.kl_div(torch.log(sc), tc, reduction='sum')
+        loss = loss + torch.sum(pdist(sc, tc))
+    b, h, w, _ = student.shape
+    return float(loss / (b * h * w))
+
+
+def test_ncr_sup_mode_matches_reference_loop():
+    rng = np.random.RandomState(1)
+    b, h, w, c = 2, 8, 8, 6
+    student = rng.randn(b, h, w, c).astype(np.float32)
+    teacher = rng.randn(b, h, w, c).astype(np.float32)
+    label = rng.randint(0, c, (b, h, w)).astype(np.int64)
+    label[1, :3, :] = 255          # ignored pixels contribute nothing
+    label[label == 5] = 0          # leave class 5 EMPTY (quirk branch)
+    ref = _ncr_sup_reference(student, teacher, label, c)
+    ours = float(ncr_loss(jnp.asarray(student), jnp.asarray(teacher),
+                          jnp.asarray(label.astype(np.int32)), c, 'sup'))
+    assert abs(ours - ref) < 5e-4, (ours, ref)
