@@ -216,6 +216,111 @@ def convert_vit_backbone(sd: Dict[str, np.ndarray],
     return p, {}
 
 
+def convert_mit_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg MixVisionTransformer state_dict (keys WITHOUT 'backbone.')
+    -> flax params subtree for our MixVisionTransformer.
+
+    Reference layout (mmseg/models/backbones/mit.py:414-441): per stage s,
+    ``layers.{s}`` is [patch_embed, ModuleList(blocks), stage-LN]:
+      layers.{s}.0.projection.{weight,bias} + layers.{s}.0.norm.*
+      layers.{s}.1.{i}.norm1/norm2.* (pre-LNs)
+      layers.{s}.1.{i}.attn.attn.in_proj_* / out_proj.*   (q|k|v stacked)
+      layers.{s}.1.{i}.attn.sr.* + attn.norm.*            (sr_ratio > 1)
+      layers.{s}.1.{i}.ffn.layers.{0,1,4}.*  (fc1 1x1 conv, dw 3x3, fc2)
+      layers.{s}.2.{weight,bias}             (stage-final LN)
+    Ours keeps per-stage module names (mit.py is a plain loop, not a scan):
+    patch_embed_{s}/, stage_{s}_block_{i}/, norm_{s}/.
+    """
+    p: Dict[str, Any] = {}
+    s = 0
+    while f'layers.{s}.0.projection.weight' in sd:
+        w = sd[f'layers.{s}.0.projection.weight']          # [C,3|Cin,k,k]
+        p[f'patch_embed_{s}'] = {
+            'proj': {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                     'bias': sd[f'layers.{s}.0.projection.bias']},
+            'norm': {'scale': sd[f'layers.{s}.0.norm.weight'],
+                     'bias': sd[f'layers.{s}.0.norm.bias']},
+        }
+        i = 0
+        while f'layers.{s}.1.{i}.norm1.weight' in sd:
+            pre = f'layers.{s}.1.{i}.'
+            c = sd[pre + 'norm1.weight'].shape[0]
+            in_w = sd[pre + 'attn.attn.in_proj_weight']     # [3C, C]
+            in_b = sd[pre + 'attn.attn.in_proj_bias']
+            attn = {
+                'q': {'kernel': in_w[:c].T, 'bias': in_b[:c]},
+                'kv': {'kernel': in_w[c:].T, 'bias': in_b[c:]},
+                'proj': {
+                    'kernel': sd[pre + 'attn.attn.out_proj.weight'].T,
+                    'bias': sd[pre + 'attn.attn.out_proj.bias']},
+            }
+            if pre + 'attn.sr.weight' in sd:
+                attn['sr'] = {
+                    'kernel': np.transpose(sd[pre + 'attn.sr.weight'],
+                                           (2, 3, 1, 0)),
+                    'bias': sd[pre + 'attn.sr.bias']}
+                attn['sr_norm'] = {'scale': sd[pre + 'attn.norm.weight'],
+                                   'bias': sd[pre + 'attn.norm.bias']}
+            fc1 = sd[pre + 'ffn.layers.0.weight']           # [H, C, 1, 1]
+            dw = sd[pre + 'ffn.layers.1.weight']            # [H, 1, 3, 3]
+            fc2 = sd[pre + 'ffn.layers.4.weight']           # [C, H, 1, 1]
+            p[f'stage_{s}_block_{i}'] = {
+                'norm1': {'scale': sd[pre + 'norm1.weight'],
+                          'bias': sd[pre + 'norm1.bias']},
+                'attn': attn,
+                'norm2': {'scale': sd[pre + 'norm2.weight'],
+                          'bias': sd[pre + 'norm2.bias']},
+                'ffn': {
+                    'fc1': {'kernel': fc1[:, :, 0, 0].T,
+                            'bias': sd[pre + 'ffn.layers.0.bias']},
+                    'dwconv': {'kernel': np.transpose(dw, (2, 3, 1, 0)),
+                               'bias': sd[pre + 'ffn.layers.1.bias']},
+                    'fc2': {'kernel': fc2[:, :, 0, 0].T,
+                            'bias': sd[pre + 'ffn.layers.4.bias']},
+                },
+            }
+            i += 1
+        p[f'norm_{s}'] = {'scale': sd[f'layers.{s}.2.weight'],
+                          'bias': sd[f'layers.{s}.2.bias']}
+        s += 1
+    return p, {}
+
+
+def convert_segformer_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                           ) -> Tuple[Dict, Dict]:
+    """mmseg SegformerHead state_dict -> (params, batch_stats) subtrees.
+
+    Reference (segformer_head.py:120-135): per-level 1x1 ConvModule
+    ``convs.{i}`` (conv-no-bias + BN + ReLU), ``fusion_conv`` (1x1 conv +
+    BN), ``conv_seg``. Our flax head implements the per-level 1x1 conv as
+    a Dense (same math on NHWC) named ``convs_{i}`` + ``convs_{i}_bn``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]  # noqa: E731
+
+    i = 0
+    while prefix + f'convs.{i}.conv.weight' in sd:
+        w = g(f'convs.{i}.conv.weight')             # [Cout, Cin, 1, 1]
+        p[f'convs_{i}'] = {'kernel': w[:, :, 0, 0].T}
+        p[f'convs_{i}_bn'] = {'scale': g(f'convs.{i}.bn.weight'),
+                              'bias': g(f'convs.{i}.bn.bias')}
+        bs[f'convs_{i}_bn'] = {'mean': g(f'convs.{i}.bn.running_mean'),
+                               'var': g(f'convs.{i}.bn.running_var')}
+        i += 1
+    if prefix + 'fusion_conv.conv.weight' in sd:
+        w = g('fusion_conv.conv.weight')
+        p['fusion_conv'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        p['fusion_bn'] = {'scale': g('fusion_conv.bn.weight'),
+                          'bias': g('fusion_conv.bn.bias')}
+        bs['fusion_bn'] = {'mean': g('fusion_conv.bn.running_mean'),
+                           'var': g('fusion_conv.bn.running_var')}
+    if prefix + 'conv_seg.weight' in sd:
+        w = g('conv_seg.weight')
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': g('conv_seg.bias')}
+    return p, bs
+
+
 def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg SETRUPHead state_dict -> (params, batch_stats) subtrees."""
@@ -272,13 +377,20 @@ def convert_mmseg_checkpoint(path_or_sd,
                       or k == 'cls_token' for k in sd):
         bb = sd
     if bb:
-        p, _ = convert_vit_backbone(bb, num_layers, dst_grid)
+        if 'layers.0.0.projection.weight' in bb:
+            # MiT: per-stage [patch_embed, blocks, norm] triples
+            p, _ = convert_mit_backbone(bb)
+        else:
+            p, _ = convert_vit_backbone(bb, num_layers, dst_grid)
         if p:
             params['backbone_m'] = p
 
     dh = sub('decode_head.')
     if dh:
-        p, b = convert_setr_up_head(dh)
+        if 'convs.0.conv.weight' in dh:          # SegformerHead layout
+            p, b = convert_segformer_head(dh)
+        else:
+            p, b = convert_setr_up_head(dh)
         params['decode_head_m'] = p
         batch_stats['decode_head_m'] = b
     aux_p, aux_b = [], []
@@ -344,7 +456,12 @@ def merge_pretrained(variables: Dict, pretrained: Dict,
                     raise ValueError(
                         f'shape mismatch at {path}/{k}: '
                         f'{np.shape(dst[k])} vs {np.shape(v)}')
-                dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                # np.array COPIES: converter outputs can be views into
+                # torch storage (transposes of t.numpy()), and jnp.asarray
+                # zero-copies aligned numpy on the CPU runtime — without
+                # this, later in-place torch mutations would silently
+                # rewrite the "loaded" jax weights
+                dst[k] = np.array(v, dtype=np.asarray(dst[k]).dtype)
 
     for col in pretrained:
         if col in out:

@@ -70,12 +70,19 @@ class SegformerHead(nn.Module):
                 n_i = g // num_super
                 if n_i >= 1 and g % num_super == 0:
                     f = unshuffle_feature_map(f, patchmix_perm, n_i)
-            y = nn.Dense(self.channels, name=f'convs_{i}',
-                         dtype=self.dtype)(f)
+            # per-level ConvModule: 1x1 conv (no bias) + BN + ReLU
+            # (reference segformer_head.py:120-129 with norm_cfg SyncBN)
+            y = nn.Dense(self.channels, use_bias=False,
+                         name=f'convs_{i}', dtype=self.dtype)(f)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f'convs_{i}_bn',
+                             dtype=self.dtype)(y)
+            y = nn.relu(y)
             if y.shape[1:3] != target_hw:
                 y = resize_bilinear(y, target_hw, self.align_corners)
             outs.append(y)
-        x = jnp.concatenate(outs[::-1], axis=-1)
+        # concat in in_index order (reference torch.cat(outs, dim=1))
+        x = jnp.concatenate(outs, axis=-1)
         x = nn.Conv(self.channels, (1, 1), use_bias=False,
                     name='fusion_conv', dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -51,20 +51,38 @@ def ema_update_with_dropout(teacher: Pytree, student: Pytree,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def ema_update_partitioned(teacher_params: Pytree, student_params: Pytree,
-                           momentum_backbone, momentum_head,
-                           head_prefixes=('decode_head_m', 'aux_heads'),
-                           dropout_head: float = 0.0,
-                           key: Optional[jax.Array] = None) -> Pytree:
-    """Backbone and head can use different momenta (reference
-    momentum_backbone/momentum_head, :416-423). Partition on top-level
-    module names of the segmentor parameter tree."""
+def ema_update_scoped(teacher: Pytree, student: Pytree,
+                      momentum_backbone, momentum_head, momentum_plain,
+                      dropout_head: float = 0.0,
+                      key: Optional[jax.Array] = None,
+                      is_params: bool = True) -> Pytree:
+    """Per-module EMA momenta, matching the reference's four update calls
+    (encoder_decoder.py:416-423) exactly:
+
+    - ``backbone`` lerps with ``momentum_backbone`` (:418),
+    - ``decode_head`` lerps with ``momentum_head`` and, for *parameters
+      only*, per-param skip with prob ``momentum_head_dropout``
+      (:421, :1050-1053 — the buffers loop at :1062-1066 has no dropout),
+    - ``neck`` and ``auxiliary_head`` lerp with the plain ``self.momentum``
+      (:420, :423) — NOT momentum_head, and never with dropout.
+
+    Applies to both the params tree and the batch_stats tree (the
+    reference lerps each module's BN buffers inside the same call with
+    that module's momentum). Partition is on the segmentor's top-level
+    module names (``backbone_m`` / ``decode_head_m`` / ``neck_m`` /
+    ``aux_heads``).
+    """
     out = {}
-    for name, sub_t in teacher_params.items():
-        is_head = any(name.startswith(p) for p in head_prefixes)
-        m = momentum_head if is_head else momentum_backbone
-        sub_s = student_params[name]
-        if is_head and dropout_head > 0.0 and key is not None:
+    for name, sub_t in teacher.items():
+        sub_s = student[name]
+        if name.startswith('backbone_m'):
+            m = momentum_backbone
+        elif name.startswith('decode_head_m'):
+            m = momentum_head
+        else:  # neck_m, aux_heads, anything else
+            m = momentum_plain
+        if (is_params and name.startswith('decode_head_m')
+                and dropout_head > 0.0 and key is not None):
             out[name] = ema_update_with_dropout(
                 sub_t, sub_s, m, dropout_head, key)
         else:

@@ -76,21 +76,16 @@ def _batch_patchwise_masks(key: jax.Array, b: int, hw: Tuple[int, int],
 
 
 # ------------------------------------------------------------------ CutMix
-def cutmix(key: jax.Array, imgs: Array, labels: Array,
-           ratio: float = 2.0, patchwise: bool = False,
-           patchsize: int = 128) -> Tuple[Array, Array]:
-    """Sample i mixed with sample (i+1) % B under a per-sample box — or a
-    random patch set when ``patchwise`` (generate_unsup_cutmix_data,
-    generate_unsup_data.py:400-453)."""
+def cutmix_with_masks(masks: Array, imgs: Array, labels: Array
+                      ) -> Tuple[Array, Array]:
+    """CutMix given explicit per-sample {0,1} masks (0 = take from the
+    next sample). The deterministic core of ``cutmix``; also the
+    injection point for randomness-controlled parity tests."""
     b, h, w, _ = imgs.shape
     if labels.shape[1:] != (h, w):
         labels_full = resize_nearest(labels, (h, w))
     else:
         labels_full = labels
-    if patchwise:
-        masks = _batch_patchwise_masks(key, b, (h, w), patchsize, ratio)
-    else:
-        masks = _batch_box_masks(key, b, (h, w), ratio)  # [B,H,W], 0 in box
     nxt = jnp.roll(jnp.arange(b), -1)
     m4 = masks[..., None]
     new_imgs = imgs * m4 + imgs[nxt] * (1.0 - m4)
@@ -98,6 +93,20 @@ def cutmix(key: jax.Array, imgs: Array, labels: Array,
     if labels.shape[1:] != (h, w):
         new_labels = resize_nearest(new_labels, labels.shape[1:])
     return new_imgs, new_labels.astype(labels.dtype)
+
+
+def cutmix(key: jax.Array, imgs: Array, labels: Array,
+           ratio: float = 2.0, patchwise: bool = False,
+           patchsize: int = 128) -> Tuple[Array, Array]:
+    """Sample i mixed with sample (i+1) % B under a per-sample box — or a
+    random patch set when ``patchwise`` (generate_unsup_cutmix_data,
+    generate_unsup_data.py:400-453)."""
+    b, h, w, _ = imgs.shape
+    if patchwise:
+        masks = _batch_patchwise_masks(key, b, (h, w), patchsize, ratio)
+    else:
+        masks = _batch_box_masks(key, b, (h, w), ratio)  # [B,H,W], 0 in box
+    return cutmix_with_masks(masks, imgs, labels)
 
 
 def sup_cutmix(key: jax.Array, imgs: Array, labels: Array
@@ -226,20 +235,30 @@ def patch_shuffle(key: jax.Array, imgs: Array,
     """
     b, h, w, c = imgs.shape
     s = patch_size * patchmix_n
-    g = h // s
-    gg = g * (w // s)
+    gg = (h // s) * (w // s)
     kgate, kperm = jax.random.split(key)
     gates = jax.random.bernoulli(kgate, patchmix_ratio, (b,))
     perm_keys = jax.random.split(kperm, b)
     perms = jax.vmap(lambda k: jax.random.permutation(k, gg))(perm_keys)
     identity = jnp.broadcast_to(jnp.arange(gg), (b, gg))
     perms = jnp.where(gates[:, None], perms, identity).astype(jnp.int32)
+    return apply_patch_perm(imgs, perms, patchmix_n, patch_size), perms
 
+
+def apply_patch_perm(imgs: Array, perms: Array, patchmix_n: int,
+                     patch_size: int = 16) -> Array:
+    """Permute images as (patch_size*patchmix_n)^2 super-patches with the
+    given per-sample permutations (identity row = untouched sample). The
+    deterministic core of ``patch_shuffle``."""
+    b, h, w, c = imgs.shape
+    s = patch_size * patchmix_n
+    g = h // s
+    gg = g * (w // s)
     x = imgs.reshape(b, g, s, w // s, s, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gg, s, s, c)
     x = jnp.take_along_axis(x, perms[:, :, None, None, None], axis=1)
     x = x.reshape(b, g, w // s, s, s, c).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h, w, c), perms
+    return x.reshape(b, h, w, c)
 
 
 # ------------------------------------------------- mix with labeled images

@@ -33,7 +33,7 @@ from s4former_tpu.ops.resize import resize_bilinear
 from s4former_tpu.registry import LOSSES
 from s4former_tpu.semi import mixes
 from s4former_tpu.semi.config import SemiConfig
-from s4former_tpu.semi.ema import ema_update, ema_update_partitioned
+from s4former_tpu.semi.ema import ema_update_scoped
 from s4former_tpu.semi.ncr import ncr_loss
 from s4former_tpu.semi.pasa import pasa_bias_from_conf_mask
 from s4former_tpu.semi.pseudo import (extract_teacher_info, mask_ratio,
@@ -117,9 +117,17 @@ def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
 def apply_strong_mixes(cfg: SemiConfig, rng: Array,
                        imgs: Array, labels: Array,
                        teacher_info, sup_imgs, sup_gts,
-                       num_classes: int):
+                       num_classes: int,
+                       overrides: Optional[Dict[str, Array]] = None):
     """The strong-augmentation cascade on (student imgs, teacher labels)
-    (encoder_decoder.py:584-648). Returns (imgs, labels, patchmix_perm)."""
+    (encoder_decoder.py:584-648). Returns (imgs, labels, patchmix_perm).
+
+    ``overrides`` (parity harness only): {'cutmix_mask': [B,H,W] {0,1},
+    'patchmix_perm': [B,GG] int32} replace the sampled CutMix box / the
+    sampled PatchShuffle gate+permutation with fixed arrays so a torch
+    oracle can run the identical randomness. Never set in production.
+    """
+    overrides = overrides or {}
     perm = None
     raw_imgs = imgs  # pre-mix student images (for cutmix_adaptive below)
     k = jax.random.split(rng, 8)
@@ -177,12 +185,22 @@ def apply_strong_mixes(cfg: SemiConfig, rng: Array,
         imgs, perm = mixes.patch_shuffle(
             k[4], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
     if cfg.use_PatchShuffle_w_Cutmix:
-        imgs, labels = gated(
-            k[5], cfg.strong_aug_prob,
-            lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area),
-            imgs, labels)
-        imgs, perm = mixes.patch_shuffle(
-            k[6], imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
+        if 'cutmix_mask' in overrides:
+            imgs, labels = mixes.cutmix_with_masks(
+                overrides['cutmix_mask'], imgs, labels)
+        else:
+            imgs, labels = gated(
+                k[5], cfg.strong_aug_prob,
+                lambda kk, i, l: mixes.cutmix(kk, i, l, cfg.cutout_area),
+                imgs, labels)
+        if 'patchmix_perm' in overrides:
+            perm = overrides['patchmix_perm']
+            imgs = mixes.apply_patch_perm(imgs, perm, cfg.PatchMix_N,
+                                          cfg.patchsize)
+        else:
+            imgs, perm = mixes.patch_shuffle(
+                k[6], imgs, cfg.PatchMix_N, cfg.patchsize,
+                cfg.patchmix_ratio)
     if cfg.use_PatchShuffle_w_Classmix:
         # reference passes patchsize=16*PatchMix_N here (:644-648)
         imgs, labels = gated(
@@ -255,13 +273,17 @@ def make_semi_train_step(model,
                 m_head = state.annealed_momentum
                 if cfg.momentum_exp != 0:
                     m_backbone = state.annealed_momentum
-            ema_params = ema_update_partitioned(
+            # plain self.momentum (neck/aux heads, :420/:423) is never
+            # annealed (:926-932 only reassigns momentum_head/_backbone)
+            m_plain = cfg.ema_momentum
+            ema_params = ema_update_scoped(
                 state.ema_params, state.params,
-                m_backbone, m_head,
+                m_backbone, m_head, m_plain,
                 dropout_head=cfg.momentum_head_dropout,
-                key=r_ema)
-            ema_bs = ema_update(state.ema_batch_stats, state.batch_stats,
-                                m_head)
+                key=r_ema, is_params=True)
+            ema_bs = ema_update_scoped(
+                state.ema_batch_stats, state.batch_stats,
+                m_backbone, m_head, m_plain, is_params=False)
 
         has_unsup = 'unsup_teacher_img' in batch and cfg.unsup_weight != 0
         has_unimatch = cfg.unimatch and 'unsup_teacher_mix_img' in batch
@@ -346,11 +368,23 @@ def make_semi_train_step(model,
                     cfg.unsup_temperature, cfg.unsup_soft)
             else:
                 bu = batch['unsup_student_img'].shape[0]
+                if bu > sup_student_img.shape[0]:
+                    raise ValueError(
+                        f"unsup batch ({bu}) > sup batch "
+                        f"({sup_student_img.shape[0]}): the strong-mix "
+                        "cascade pairs each unsup sample with a labeled "
+                        "one (encoder_decoder.py:584-594); configure "
+                        "sample_ratio with sup >= unsup per chip.")
+                # 'dbg_'-prefixed batch keys are fixed-randomness
+                # injections for the torch parity harness (static
+                # presence; zero cost when absent)
+                mix_overrides = {key[4:]: v for key, v in batch.items()
+                                 if key.startswith('dbg_')}
                 mixed_imgs, mixed_labels, perm = apply_strong_mixes(
                     cfg, r_mix, batch['unsup_student_img'],
                     teacher.hard_label, teacher,
                     sup_student_img[:bu], sup_gt[:bu],
-                    num_classes)
+                    num_classes, overrides=mix_overrides)
 
         # ---- 2b. EMA pass on WEAK labeled images — shared by the sup-NCR
         # teacher (:447-449) and sup_ema distillation (:477-480). Uses the

@@ -39,9 +39,11 @@ class TorchBlock(torch.nn.Module):
         self.fc1 = torch.nn.Linear(C, 4 * C)
         self.fc2 = torch.nn.Linear(4 * C, C)
 
-    def forward(self, x):
+    def forward(self, x, attn_mask=None):
+        # attn_mask: additive float [B*H, T, T] (the reference's PASA bias
+        # path, vit.py:113-127 -> nn.MultiheadAttention attn_mask)
         y = self.ln1(x)
-        y, _ = self.attn(y, y, y, need_weights=False)
+        y, _ = self.attn(y, y, y, attn_mask=attn_mask, need_weights=False)
         x = x + y
         z = self.ln2(x)
         z = self.fc2(F.gelu(self.fc1(z)))
@@ -61,14 +63,16 @@ class TorchViT(torch.nn.Module):
         self.blocks = torch.nn.ModuleList(TorchBlock()
                                           for _ in range(LAYERS))
 
-    def forward(self, x):
+    def forward(self, x, attn_mask=None):
+        # attn_mask [B*H, T, T] additive, applied at EVERY layer like the
+        # reference (vit.py:543-545 passes the same mask into each block)
         b = x.shape[0]
         t = self.patch(x).flatten(2).transpose(1, 2)       # [B, HW, C]
         t = torch.cat([self.cls_token.expand(b, -1, -1), t], dim=1)
         t = t + self.pos_embed
         outs = []
         for i, blk in enumerate(self.blocks):
-            t = blk(t)
+            t = blk(t, attn_mask=attn_mask)
             if i in self.out_indices:
                 f = t[:, 1:].transpose(1, 2).reshape(b, C, GRID, GRID)
                 outs.append(f)

@@ -69,7 +69,7 @@ def test_mit_full_semi_step():
                                          (1, 64, 64, 3))
     cfg = SemiConfig(
         ema=True, ema_momentum=0.99, unsup_weight=1.0,
-        unsup_confidence=0.5, attn_mask_seperate_head=True,
+        unsup_confidence=0.25, attn_mask_seperate_head=True,
         attn_mask_weight=5.0, adaptive_attn_mask=True,
         use_PatchShuffle_w_Cutmix=True, PatchMix_N=2,
         negative_class_ranking=True,
@@ -83,8 +83,9 @@ def test_mit_full_semi_step():
               'mask_ratio'):
         assert k in logs, k
         assert np.isfinite(float(logs[k])), k
-    # 0.5 confidence threshold at random init leaves some confident
-    # pixels, so the PASA pass actually trains
+    # 0.25 confidence threshold at random init (5 classes -> max_prob
+    # >= 0.2 by construction) leaves some confident pixels, so the PASA
+    # pass actually trains
     assert float(logs['mask_ratio']) > 0.0
     state2, logs2 = step(state, _batch(), jax.random.PRNGKey(1))
     assert np.isfinite(float(logs2['loss']))

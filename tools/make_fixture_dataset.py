@@ -1,0 +1,116 @@
+"""Build the real-image VOC-layout fixture dataset (data/fixtures/voc_mini).
+
+Purpose: end-to-end learning evidence on REAL photographic images — the
+class of test that catches label/geometry/normalization bugs that synthetic
+batches cannot (driven by tools/train.py with eval-in-loop + resume).
+
+Sources (copied AS DATA, disclosed in PARITY.md): the reference test-suite
+photographs /root/reference/tests/data/pseudo_dataset/imgs/*.jpg with their
+human-drawn label masks gts/*.png (4 classes), plus tests/data/color.jpg and
+demo/demo.png. Derived variants (horizontal flips, quantized labels for the
+unlabeled-source images) are computed here deterministically.
+
+Layout produced (VOC2012-compatible, SURVEY §2.6):
+    JPEGImages/*.jpg
+    SegmentationClass/*.png          (P-mode, VOC palette, 255=ignore)
+    datasplits/fixture/{train_supervised,train_unsupervised,val}.txt
+
+Usage:  python tools/make_fixture_dataset.py [--out data/fixtures/voc_mini]
+"""
+import argparse
+import glob
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+REF = '/root/reference'
+TARGET_W, TARGET_H = 500, 375  # typical VOC geometry
+
+
+def _voc_palette():
+    from s4former_tpu.core.class_names import voc_palette
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:21] = np.asarray(voc_palette(), np.uint8)
+    pal[255] = 255
+    return pal
+
+
+def _save_label(arr, path, palette):
+    im = Image.fromarray(arr.astype(np.uint8), mode='P')
+    im.putpalette(palette.astype(np.uint8).flatten().tolist())
+    im.save(path)
+
+
+def _quantize_label(img, n=4):
+    """Deterministic pseudo-label for images without annotations: PIL
+    median-cut quantization of the photo into n spatially-coherent color
+    regions -> class ids 1..n (background stays rare on photos)."""
+    q = img.convert('RGB').quantize(colors=n, method=Image.MEDIANCUT)
+    return np.asarray(q, dtype=np.uint8) + 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='data/fixtures/voc_mini')
+    args = ap.parse_args()
+    out = args.out
+    img_dir = osp.join(out, 'JPEGImages')
+    ann_dir = osp.join(out, 'SegmentationClass')
+    split_dir = osp.join(out, 'datasplits', 'fixture')
+    for d in (img_dir, ann_dir, split_dir):
+        os.makedirs(d, exist_ok=True)
+    palette = _voc_palette()
+
+    entries = []
+
+    def add(name, img, label):
+        img = img.convert('RGB').resize((TARGET_W, TARGET_H),
+                                        Image.BILINEAR)
+        lab = Image.fromarray(label).resize((TARGET_W, TARGET_H),
+                                            Image.NEAREST)
+        img.save(osp.join(img_dir, name + '.jpg'), quality=92)
+        _save_label(np.asarray(lab), osp.join(ann_dir, name + '.png'),
+                    palette)
+        entries.append(name)
+        # horizontal flip variant (deterministic augmentation-by-data)
+        img.transpose(Image.FLIP_LEFT_RIGHT).save(
+            osp.join(img_dir, name + '_f.jpg'), quality=92)
+        _save_label(np.asarray(lab)[:, ::-1],
+                    osp.join(ann_dir, name + '_f.png'), palette)
+        entries.append(name + '_f')
+
+    # 1. the five annotated photographs
+    for f in sorted(glob.glob(
+            osp.join(REF, 'tests/data/pseudo_dataset/imgs/*.jpg'))):
+        name = osp.basename(f).replace('_img.jpg', '')
+        gt = np.asarray(Image.open(
+            osp.join(REF, 'tests/data/pseudo_dataset/gts',
+                     name + '_gt.png')))
+        add('photo_' + name, Image.open(f), gt)
+
+    # 2. color.jpg + demo.png halves with quantized labels
+    cj = Image.open(osp.join(REF, 'tests/data/color.jpg'))
+    add('photo_color', cj, _quantize_label(cj))
+    demo = Image.open(osp.join(REF, 'demo/demo.png'))
+    w, h = demo.size
+    left = demo.crop((0, 0, w // 2, h))
+    right = demo.crop((w // 2, 0, w, h))
+    add('photo_demo_l', left, _quantize_label(left))
+    add('photo_demo_r', right, _quantize_label(right))
+
+    # splits: all images are labeled (overfit evidence); the same images
+    # also serve as the unlabeled stream (their GT is never used there)
+    # and as val (train-fixture overfit mIoU)
+    for split in ('train_supervised', 'train_unsupervised', 'val'):
+        with open(osp.join(split_dir, split + '.txt'), 'w') as f:
+            f.write('\n'.join(entries) + '\n')
+    print(f'wrote {len(entries)} images to {out}')
+
+
+if __name__ == '__main__':
+    main()
