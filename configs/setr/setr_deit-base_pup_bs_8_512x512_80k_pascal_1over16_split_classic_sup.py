@@ -31,10 +31,16 @@ backbone = dict(
     num_heads=12,
     num_layers=12,
     out_indices=(4, 7, 9, 11),
+    # flagship compute dtype: bf16 activations (params stay f32) — the
+    # MXU's native rate and half the HBM traffic (BENCH_NOTES.md); the
+    # flash kernel's f32 bwd tiles also exceed the scoped-VMEM budget at
+    # L=1025+pad, so f32 training requires use_flash=False
+    dtype='bfloat16',
     init_cfg=dict(type='Pretrained', checkpoint='pretrain/deit_base_p16.pth'))
 
 decode_head = dict(
     type='SETRUPHead',
+    dtype='bfloat16',
     align_corners=False,
     num_convs=4,
     in_channels=768,
@@ -51,6 +57,7 @@ decode_head = dict(
 auxiliary_head = [
     dict(
         type='SETRUPHead',
+        dtype='bfloat16',
         in_channels=768,
         channels=256,
         in_index=i,

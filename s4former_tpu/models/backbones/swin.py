@@ -80,6 +80,15 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: int = 4
+    drop_path_rate: float = 0.0  # stochastic depth (ref swin.py DropPath)
+
+    def _drop_path(self, y: Array, deterministic: bool) -> Array:
+        if self.drop_path_rate <= 0 or deterministic:
+            return y
+        keep = 1.0 - self.drop_path_rate
+        rng = self.make_rng('dropout')
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
+        return jnp.where(mask, y / keep, 0.0)
 
     @nn.compact
     def __call__(self, x: Array, hw: Tuple[int, int],
@@ -117,12 +126,12 @@ class SwinBlock(nn.Module):
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w].reshape(b, l, c)
-        x = x + y
+        x = x + self._drop_path(y, deterministic)
         z = nn.LayerNorm(name='norm2', dtype=jnp.float32)(x)
         z = nn.Dense(self.mlp_ratio * c, name='fc1')(z)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, name='fc2')(z)
-        return x + z
+        return x + self._drop_path(z, deterministic)
 
 
 @BACKBONES.register_module()
@@ -165,14 +174,22 @@ class SwinTransformer(nn.Module):
         outs = []
         dim = self.embed_dims
         hw = (h, w)
+        # stochastic depth: linearly increasing per-block rate over the
+        # whole stack (reference swin.py dpr = linspace(0, drop_path_rate))
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        cur = 0
         for s, depth in enumerate(self.depths):
             for blk in range(depth):
                 tokens = SwinBlock(
                     dim, self.num_heads[s], self.window_size,
                     shift=0 if blk % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=dpr[cur + blk],
                     name=f'stage_{s}_block_{blk}')(
                         tokens, hw, deterministic=not train)
+            cur += depth
             if s in self.out_indices:
                 normed = nn.LayerNorm(name=f'out_norm_{s}',
                                       dtype=jnp.float32)(tokens)

@@ -155,7 +155,7 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return o, lse
@@ -304,7 +304,7 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -350,7 +350,7 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
