@@ -13,7 +13,12 @@ data_root = 'data/fixtures/voc_mini'
 fixture_ann = 'SegmentationClass'
 
 model = dict(
-    unsup_confidence=0.5,   # random-init teacher never clears 0.95
+    # random-init teacher never clears 0.95; and at momentum 0.999 the
+    # teacher would still be ~0.999^1000 = 37% random-weight blend at the
+    # end of this 1k-iter budget — 0.99 makes it track the (overfitting)
+    # student within ~500 iters so the unsup branch demonstrably fires
+    unsup_confidence=0.35,
+    ema_momentum=0.99,
 )
 
 data = dict(

@@ -46,12 +46,19 @@ def _save_label(arr, path, palette):
     im.save(path)
 
 
-def _quantize_label(img, n=4):
-    """Deterministic pseudo-label for images without annotations: PIL
-    median-cut quantization of the photo into n spatially-coherent color
-    regions -> class ids 1..n (background stays rare on photos)."""
-    q = img.convert('RGB').quantize(colors=n, method=Image.MEDIANCUT)
-    return np.asarray(q, dtype=np.uint8) + 1
+def _quantize_label(img, n=4, coarse=8):
+    """Deterministic pseudo-label for images without annotations:
+    median-cut color quantization at 1/``coarse`` resolution, upsampled
+    nearest — the downscale keeps regions spatially coherent (per-pixel
+    quantization produces dithered near-pixel-granularity labels that a
+    16x-downsampling segmentor cannot fit, capping the overfit evidence).
+    Class ids 1..n."""
+    w, h = img.size
+    small = img.convert('RGB').resize((w // coarse, h // coarse),
+                                      Image.BILINEAR)
+    q = small.quantize(colors=n, method=Image.MEDIANCUT)
+    lab = Image.fromarray(np.asarray(q, dtype=np.uint8) + 1)
+    return np.asarray(lab.resize((w, h), Image.NEAREST))
 
 
 def main():
