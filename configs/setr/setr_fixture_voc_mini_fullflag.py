@@ -21,6 +21,29 @@ model = dict(
     ema_momentum=0.99,
 )
 
+# Training-time eval at the TRAINED 512x512 geometry (keep_ratio=False):
+# the standard VOC keep-ratio (2048,512) test pipeline evaluates at a
+# resolution this from-scratch model never saw (round-3 lesson — the
+# reference's models inherit resolution robustness from DeiT pretraining,
+# which isn't shipped here). setr_fixture_voc_mini_eval512.py applies the
+# same pipeline for offline tools/test.py runs.
+img_norm_cfg = dict(
+    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True)
+fixture_test_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(
+        type='MultiScaleFlipAug',
+        img_scale=(512, 512),
+        flip=False,
+        transforms=[
+            dict(type='Resize', keep_ratio=False),
+            dict(type='RandomFlip'),
+            dict(type='Normalize', **img_norm_cfg),
+            dict(type='ImageToTensor', keys=['img']),
+            dict(type='Collect', keys=['img']),
+        ])
+]
+
 data = dict(
     train=dict(
         sup=dict(
@@ -37,11 +60,13 @@ data = dict(
         data_root=data_root,
         ann_dir=fixture_ann,
         split='datasplits/fixture/val.txt',
+        pipeline=fixture_test_pipeline,
     ),
     test=dict(
         data_root=data_root,
         ann_dir=fixture_ann,
         split='datasplits/fixture/val.txt',
+        pipeline=fixture_test_pipeline,
     ))
 
 runner = dict(max_iters=1001)

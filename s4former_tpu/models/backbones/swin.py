@@ -97,7 +97,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
         b, l, c = x.shape
-        y = nn.LayerNorm(name='norm1', dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name='norm1', dtype=jnp.float32)(x)
         y = y.reshape(b, h, w, c)
         # pad to window multiples
         ph = (ws - h % ws) % ws
@@ -127,7 +127,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w].reshape(b, l, c)
         x = x + self._drop_path(y, deterministic)
-        z = nn.LayerNorm(name='norm2', dtype=jnp.float32)(x)
+        z = nn.LayerNorm(epsilon=1e-5, name='norm2', dtype=jnp.float32)(x)
         z = nn.Dense(self.mlp_ratio * c, name='fc1')(z)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, name='fc2')(z)
@@ -169,7 +169,7 @@ class SwinTransformer(nn.Module):
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
         if self.patch_norm:
-            tokens = nn.LayerNorm(name='patch_norm',
+            tokens = nn.LayerNorm(epsilon=1e-5, name='patch_norm',
                                   dtype=jnp.float32)(tokens)
         outs = []
         dim = self.embed_dims
@@ -191,7 +191,7 @@ class SwinTransformer(nn.Module):
                         tokens, hw, deterministic=not train)
             cur += depth
             if s in self.out_indices:
-                normed = nn.LayerNorm(name=f'out_norm_{s}',
+                normed = nn.LayerNorm(epsilon=1e-5, name=f'out_norm_{s}',
                                       dtype=jnp.float32)(tokens)
                 outs.append(normed.reshape(b, hw[0], hw[1], dim))
             if s < len(self.depths) - 1:
@@ -200,7 +200,7 @@ class SwinTransformer(nn.Module):
                 t = tokens.reshape(b, hh // 2, 2, ww // 2, 2, dim)
                 t = t.transpose(0, 1, 3, 2, 4, 5).reshape(
                     b, (hh // 2) * (ww // 2), 4 * dim)
-                t = nn.LayerNorm(name=f'merge_norm_{s}',
+                t = nn.LayerNorm(epsilon=1e-5, name=f'merge_norm_{s}',
                                  dtype=jnp.float32)(t)
                 tokens = nn.Dense(2 * dim, use_bias=False,
                                   name=f'merge_{s}')(t)

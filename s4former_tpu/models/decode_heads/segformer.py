@@ -74,10 +74,15 @@ class SegformerHead(nn.Module):
             # (reference segformer_head.py:120-129 with norm_cfg SyncBN)
             y = nn.Dense(self.channels, use_bias=False,
                          name=f'convs_{i}', dtype=self.dtype)(f)
+            # BN statistics in f32 regardless of compute dtype: the
+            # reference's SyncBN accumulates moments in f32, and bf16
+            # moments over a [B,H,W,256] map lose mantissa (ADVICE r3).
+            # The stats are tiny next to the conv compute; output returns
+            # to the module compute dtype.
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f'convs_{i}_bn',
-                             dtype=self.dtype)(y)
-            y = nn.relu(y)
+                             dtype=jnp.float32)(y)
+            y = nn.relu(y).astype(self.dtype)
             if y.shape[1:3] != target_hw:
                 y = resize_bilinear(y, target_hw, self.align_corners)
             outs.append(y)
@@ -87,8 +92,8 @@ class SegformerHead(nn.Module):
                     name='fusion_conv', dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='fusion_bn',
-                         dtype=self.dtype)(x)
-        x = nn.relu(x)
+                         dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(self.dtype)
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
