@@ -53,6 +53,10 @@ def main():
         os.environ.get('BENCH_FLASH', '1') == '1'
     flagship['backbone']['remat_policy'] = \
         os.environ.get('BENCH_REMAT_POLICY', 'dots')
+    # FULL unroll default: 37.6 -> 41.4 img/s (partial unroll regresses —
+    # round-4 sweep: 1=37.6, 2=32.8, 4=30.9, 12=41.4)
+    flagship['backbone']['scan_unroll'] = \
+        int(os.environ.get('BENCH_UNROLL', 12))
     flagship['decode_head']['dtype'] = dtype
     for aux in flagship['auxiliary_head']:
         aux['dtype'] = dtype

@@ -36,6 +36,10 @@ backbone = dict(
     # flash kernel's f32 bwd tiles also exceed the scoped-VMEM budget at
     # L=1025+pad, so f32 training requires use_flash=False
     dtype='bfloat16',
+    # FULL scan unroll: params stay stacked but XLA sees straight-line
+    # layers — measured 37.6 -> 41.4 img/s on the full semi step (partial
+    # unroll regresses; BENCH_NOTES round 4)
+    scan_unroll=12,
     init_cfg=dict(type='Pretrained', checkpoint='pretrain/deit_base_p16.pth'))
 
 decode_head = dict(

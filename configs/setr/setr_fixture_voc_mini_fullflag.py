@@ -21,29 +21,15 @@ model = dict(
     ema_momentum=0.99,
 )
 
-# Training-time eval at the TRAINED 512x512 geometry (keep_ratio=False):
-# the standard VOC keep-ratio (2048,512) test pipeline evaluates at a
-# resolution this from-scratch model never saw (round-3 lesson — the
-# reference's models inherit resolution robustness from DeiT pretraining,
-# which isn't shipped here). setr_fixture_voc_mini_eval512.py applies the
-# same pipeline for offline tools/test.py runs.
-img_norm_cfg = dict(
-    mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True)
-fixture_test_pipeline = [
-    dict(type='LoadImageFromFile'),
-    dict(
-        type='MultiScaleFlipAug',
-        img_scale=(512, 512),
-        flip=False,
-        transforms=[
-            dict(type='Resize', keep_ratio=False),
-            dict(type='RandomFlip'),
-            dict(type='Normalize', **img_norm_cfg),
-            dict(type='ImageToTensor', keys=['img']),
-            dict(type='Collect', keys=['img']),
-        ])
-]
-
+# Eval geometry (measured round 4, r3 checkpoint): the default keep-ratio
+# (2048,512) pipeline scores 0.630 (bucketed) / 0.550 (exact); the
+# "trained-geometry" 512x512 keep_ratio=False hypothesis from round 3
+# scores WORSE (0.552) — the aspect distortion costs more than the
+# resolution match gains, because training content is keep-ratio-scaled
+# 512 crops. In-loop eval therefore stays on the base keep-ratio
+# pipeline; setr_fixture_voc_mini_eval512.py remains for the offline
+# comparison and tools/measure_eval_divergence.py quantifies the
+# pad-vs-exact delta (BENCH_NOTES round-4 section).
 data = dict(
     train=dict(
         sup=dict(
@@ -60,13 +46,11 @@ data = dict(
         data_root=data_root,
         ann_dir=fixture_ann,
         split='datasplits/fixture/val.txt',
-        pipeline=fixture_test_pipeline,
     ),
     test=dict(
         data_root=data_root,
         ann_dir=fixture_ann,
         split='datasplits/fixture/val.txt',
-        pipeline=fixture_test_pipeline,
     ))
 
 runner = dict(max_iters=1001)

@@ -38,6 +38,12 @@ Array = jax.Array
 # grad 3.83 vs 4.35, and 24% faster fwd with the PASA bias), else 256.
 DEFAULT_BLK_Q = None
 DEFAULT_BLK_K = None  # None = full padded K in one block
+
+# scoped-VMEM grant for the kernels (v5e has 128M; the 16M default is too
+# small for the single-q-block schedule with a bias tile at L=1152, and
+# f32 mode needs 32M). Env knob for perf experiments: S4_FLASH_VMEM_MB.
+import os as _os
+_VMEM_LIMIT = int(_os.environ.get('S4_FLASH_VMEM_MB', '32')) * 1024 * 1024
 FULL_K_MAX = 4608
 # largest single-q-block seq: blk_q*blk_k f32 scores must fit VMEM
 FULL_Q_MAX = 1536
@@ -155,7 +161,7 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
     return o, lse
@@ -304,7 +310,7 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
 
@@ -350,7 +356,7 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
 

@@ -61,17 +61,26 @@ def _linear_weights(in_size: int, out_size: int, align_corners: bool):
     return lo, hi, w
 
 
-def _interp_matrix(in_size: int, out_size: int,
-                   align_corners: bool) -> jax.Array:
-    """[out_size, in_size] sparse-as-dense 2-tap interpolation matrix
-    (host-built from the float64 coordinates, constant-folded)."""
+def interp_matrix_np(in_size: int, out_size: int,
+                     align_corners: bool):
+    """NUMPY [out_size, in_size] sparse-as-dense 2-tap interpolation
+    matrix (host-built from float64 coordinates). Also the building block
+    for the bucketed device-side eval resize (core/runner.make_eval_fn):
+    zero-padding this matrix to bucket dims keeps the valid output region
+    exact while padded rows/cols contribute zeros."""
     import numpy as np
     lo, hi, w = _linear_weights(in_size, out_size, align_corners)
     m = np.zeros((out_size, in_size), np.float32)
     rows = np.arange(out_size)
     np.add.at(m, (rows, lo), 1.0 - w)
     np.add.at(m, (rows, hi), w)
-    return jnp.asarray(m)
+    return m
+
+
+def _interp_matrix(in_size: int, out_size: int,
+                   align_corners: bool) -> jax.Array:
+    """[out_size, in_size] 2-tap interpolation matrix (constant-folded)."""
+    return jnp.asarray(interp_matrix_np(in_size, out_size, align_corners))
 
 
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],

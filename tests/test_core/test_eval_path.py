@@ -80,8 +80,11 @@ def test_eval_variable_shapes_bounded_compiles():
 
     metrics = eval_fn(_S())
     assert np.isfinite(metrics['mIoU'])
-    # 50 distinct image shapes must collapse to <=3 compiled (padded) shapes
-    assert len(eval_fn.compiled_shapes) <= 3, eval_fn.compiled_shapes
+    # 50 distinct (image, gt) shape pairs must collapse to a handful of
+    # compiled signatures: one per (padded input bucket, output-height
+    # bucket, output-width bucket) triple — the on-device ori-shape-resize
+    # path keys compiles by the interp-matrix dims too
+    assert len(eval_fn.compiled_shapes) <= 4, eval_fn.compiled_shapes
 
 
 def test_logits_resized_before_argmax():

@@ -78,15 +78,42 @@ def main():
     # bilinearly resized to ori_shape BEFORE argmax — identical to the
     # training-time eval path (core/runner.make_eval_fn), so offline and
     # in-training mIoU agree at the same checkpoint. Val shapes are
-    # bucket-padded to bound recompiles.
+    # bucket-padded to bound recompiles; the ori-shape resize + argmax run
+    # on device via exact per-image interp matrices zero-padded to bucket
+    # dims (same formulation as make_eval_fn — one compile per bucket
+    # pair, int32-only device->host transfer).
     from s4former_tpu.core.runner import _pad_to_bucket
-    from s4former_tpu.ops.resize import resize_bilinear_np
+    from s4former_tpu.ops.resize import interp_matrix_np
+
+    align = getattr(model, 'align_corners', False)
+    bucket = 256
 
     @jax.jit
-    def _logits(vs, img):
-        return inference(
+    def _pred_fn(vs, img, m_h, m_w):
+        logits = inference(
             lambda x: model.apply(vs, x, train=False),
             img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
+        x = jnp.einsum('oh,nhwc->nowc', m_h, logits,
+                       preferred_element_type=jnp.float32)
+        x = jnp.einsum('pw,nhwc->nhpc', m_w, x,
+                       preferred_element_type=jnp.float32)
+        return jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+    matrix_cache = {}
+
+    def matrices(vh, vw, ph, pw, gh, gw):
+        key = (vh, vw, ph, pw, gh, gw)
+        if key not in matrix_cache:
+            bh = -(-gh // bucket) * bucket
+            bw = -(-gw // bucket) * bucket
+            m_h = np.zeros((bh, ph), np.float32)
+            m_w = np.zeros((bw, pw), np.float32)
+            m_h[:gh, :vh] = (np.eye(vh, dtype=np.float32) if gh == vh
+                             else interp_matrix_np(vh, gh, align))
+            m_w[:gw, :vw] = (np.eye(vw, dtype=np.float32) if gw == vw
+                             else interp_matrix_np(vw, gw, align))
+            matrix_cache[key] = (jnp.asarray(m_h), jnp.asarray(m_w))
+        return matrix_cache[key]
 
     pre_eval_results = []
     for idx in range(len(dataset)):
@@ -94,13 +121,11 @@ def main():
         if isinstance(item, list):
             item = item[0]
         img = np.asarray(item['img'], np.float32)[None]
-        img, (vh, vw) = _pad_to_bucket(img, 256)
-        logits = np.asarray(_logits(variables, img))[0, :vh, :vw]
+        img, (vh, vw) = _pad_to_bucket(img, bucket)
         gt = dataset.get_gt_seg_map(idx)
-        if logits.shape[:2] != gt.shape:
-            logits = resize_bilinear_np(
-                logits, gt.shape, getattr(model, 'align_corners', False))
-        pred = np.argmax(logits, axis=-1).astype(np.int32)
+        gh, gw = gt.shape
+        m_h, m_w = matrices(vh, vw, img.shape[1], img.shape[2], gh, gw)
+        pred = np.asarray(_pred_fn(variables, img, m_h, m_w))[0, :gh, :gw]
         if args.show_dir:
             os.makedirs(args.show_dir, exist_ok=True)
             out = paint_result(
