@@ -379,6 +379,123 @@ def convert_swin_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return p, {}
 
 
+def convert_beit_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg BEiT/MAE state_dict (keys WITHOUT 'backbone.') -> flax params
+    subtree for our BEiT/MAE.
+
+    Reference layout (mmseg/models/backbones/beit.py:155-231, mae.py):
+      patch_embed.projection.{weight,bias}, cls_token
+      layers.{i}.ln1/ln2.*                      (pre-LNs)
+      layers.{i}.attn.qkv.weight                (+ .bias for MAE bias=True,
+        or attn.q_bias/attn.v_bias for BEiT's 'qv_bias' mode; the
+        relative_position_index buffer is recomputed, not loaded)
+      layers.{i}.attn.relative_position_bias_table  [(2h-1)(2w-1)+3, nH]
+      layers.{i}.attn.proj.*, layers.{i}.gamma_1/gamma_2
+      layers.{i}.ffn.layers.0.0.* (fc1) / ffn.layers.1.* (fc2)
+      pos_embed (MAE), ln1.{weight,bias}        (MAE final norm)
+
+    MAE's full qkv bias splits into q/k/v thirds; the k third is DROPPED —
+    exactly, not approximately: score_ij = q_i.(k_j + b) adds the j-
+    independent term q_i.b, which softmax removes. Our module keeps only
+    q_bias/v_bias (beit.py BEiTBlock)."""
+    p: Dict[str, Any] = {}
+    if 'patch_embed.projection.weight' in sd:
+        w = sd['patch_embed.projection.weight']          # [C,3,p,p]
+        p['patch_embed'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                            'bias': sd['patch_embed.projection.bias']}
+    if 'cls_token' in sd:
+        p['cls_token'] = sd['cls_token']
+    if 'pos_embed' in sd:
+        p['pos_embed'] = sd['pos_embed']
+    if 'ln1.weight' in sd:                               # MAE final_norm
+        p['ln_final'] = {'scale': sd['ln1.weight'], 'bias': sd['ln1.bias']}
+
+    def ln(k):
+        return {'scale': sd[k + '.weight'], 'bias': sd[k + '.bias']}
+
+    i = 0
+    while f'layers.{i}.ln1.weight' in sd:
+        pre = f'layers.{i}.'
+        c = sd[pre + 'ln1.weight'].shape[0]
+        blk: Dict[str, Any] = {
+            'norm1': ln(pre + 'ln1'),
+            'norm2': ln(pre + 'ln2'),
+            'qkv': {'kernel': sd[pre + 'attn.qkv.weight'].T},
+            'proj': {'kernel': sd[pre + 'attn.proj.weight'].T,
+                     'bias': sd[pre + 'attn.proj.bias']},
+            'relative_position_bias_table':
+                sd[pre + 'attn.relative_position_bias_table'],
+            'gamma_1': sd[pre + 'gamma_1'],
+            'gamma_2': sd[pre + 'gamma_2'],
+            'fc1': {'kernel': sd[pre + 'ffn.layers.0.0.weight'].T,
+                    'bias': sd[pre + 'ffn.layers.0.0.bias']},
+            'fc2': {'kernel': sd[pre + 'ffn.layers.1.weight'].T,
+                    'bias': sd[pre + 'ffn.layers.1.bias']},
+        }
+        if pre + 'attn.q_bias' in sd:                    # BEiT qv_bias
+            blk['q_bias'] = sd[pre + 'attn.q_bias']
+            blk['v_bias'] = sd[pre + 'attn.v_bias']
+        elif pre + 'attn.qkv.bias' in sd:                # MAE bias=True
+            qkv_b = sd[pre + 'attn.qkv.bias']
+            blk['q_bias'] = qkv_b[:c]
+            blk['v_bias'] = qkv_b[2 * c:]                # k third dropped
+        p[f'layers_{i}'] = blk
+        i += 1
+    return p, {}
+
+
+def convert_resnet_backbone(sd: Dict[str, np.ndarray]
+                            ) -> Tuple[Dict, Dict]:
+    """mmseg/torchvision ResNet(V1c) state_dict -> (params, batch_stats)
+    subtrees for our ResNet.
+
+    Reference layout (mmseg/models/backbones/resnet.py:316-442):
+      classic stem: conv1.weight + bn1.*; deep stem (V1c):
+      stem.{0,3,6}.weight convs + stem.{1,4,7}.* BNs
+      layer{s}.{j}.conv{1..3}.weight + bn{1..3}.* (+ downsample.0/1.*)
+    BN running stats land in batch_stats (mean/var)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def convbn(conv_key, bn_key):
+        w = sd[conv_key]                                 # [O,I,kh,kw]
+        pp = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+              'bn': {'scale': sd[bn_key + '.weight'],
+                     'bias': sd[bn_key + '.bias']}}
+        bb = {'bn': {'mean': sd[bn_key + '.running_mean'],
+                     'var': sd[bn_key + '.running_var']}}
+        return pp, bb
+
+    if 'stem.0.weight' in sd:                            # V1c deep stem
+        for n, (ck, bk) in enumerate(
+                [('stem.0', 'stem.1'), ('stem.3', 'stem.4'),
+                 ('stem.6', 'stem.7')], start=1):
+            p[f'stem{n}'], bs[f'stem{n}'] = convbn(ck + '.weight', bk)
+    elif 'conv1.weight' in sd:
+        p['stem'], bs['stem'] = convbn('conv1.weight', 'bn1')
+
+    s = 1
+    while f'layer{s}.0.conv1.weight' in sd:
+        j = 0
+        while f'layer{s}.{j}.conv1.weight' in sd:
+            pre = f'layer{s}.{j}.'
+            blk_p: Dict[str, Any] = {}
+            blk_b: Dict[str, Any] = {}
+            for c in (1, 2, 3):
+                if pre + f'conv{c}.weight' not in sd:
+                    break
+                blk_p[f'conv{c}'], blk_b[f'conv{c}'] = convbn(
+                    pre + f'conv{c}.weight', pre + f'bn{c}')
+            if pre + 'downsample.0.weight' in sd:
+                blk_p['downsample'], blk_b['downsample'] = convbn(
+                    pre + 'downsample.0.weight', pre + 'downsample.1')
+            p[f'layer{s}_{j}'] = blk_p
+            bs[f'layer{s}_{j}'] = blk_b
+            j += 1
+        s += 1
+    return p, bs
+
+
 def convert_segformer_head(sd: Dict[str, np.ndarray], prefix: str = ''
                            ) -> Tuple[Dict, Dict]:
     """mmseg SegformerHead state_dict -> (params, batch_stats) subtrees.
@@ -475,12 +592,18 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_mit_backbone(bb_sd)
         if 'stages.0.blocks.0.attn.w_msa.qkv.weight' in bb_sd:
             return convert_swin_backbone(bb_sd)
+        if 'layers.0.gamma_1' in bb_sd:                  # BEiT/MAE
+            return convert_beit_backbone(bb_sd)
+        if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:
+            return convert_resnet_backbone(bb_sd)
         return convert_vit_backbone(bb_sd, num_layers, dst_grid)
 
     if bb:
-        p, _ = convert_backbone(bb)
+        p, b = convert_backbone(bb)
         if p:
             params['backbone_m'] = p
+        if b:
+            batch_stats['backbone_m'] = b
 
     def convert_head(hd):
         # same layout detection for main/aux/EMA head subtrees (a full
@@ -519,8 +642,10 @@ def convert_mmseg_checkpoint(path_or_sd,
 
     bbe = sub('backbone_ema.')
     if bbe:
-        p, _ = convert_backbone(bbe)
+        p, b = convert_backbone(bbe)
         ema_params['backbone_m'] = p
+        if b:
+            ema_bs['backbone_m'] = b
     dhe = sub('decode_head_ema.')
     if dhe:
         p, b = convert_head(dhe)

@@ -57,7 +57,9 @@ class BasicBlock(nn.Module):
         identity = x
         y = ConvBN(self.planes, 3, self.stride, self.dilation,
                    name='conv1')(x, train)
-        y = ConvBN(self.planes, 3, 1, self.dilation, name='conv2')(
+        # conv2 dilation is ALWAYS 1 in the reference BasicBlock
+        # (resnet.py:49: padding=1, no dilation arg) — only conv1 dilates
+        y = ConvBN(self.planes, 3, 1, 1, name='conv2')(
             y, train, relu=False)
         if self.downsample:
             identity = ConvBN(self.planes, 1, self.stride,
@@ -126,12 +128,18 @@ class ResNet(nn.Module):
         for i in range(self.num_stages):
             stride = self.strides[i]
             dilation = self.dilations[i]
+            expansion = 1 if block_name == 'basic' else 4
             for j in range(stage_blocks[i]):
                 d = dilation
                 if j == 0 and dilation > 1 and self.contract_dilation:
                     d = dilation // 2
+                # reference ResLayer adds the 1x1 downsample only when the
+                # residual shape changes (res_layer.py:55-66) — ResNet-18's
+                # layer1 has NONE (stride 1, 64 -> 64)
+                need_down = j == 0 and (
+                    stride != 1 or x.shape[-1] != planes * expansion)
                 x = block_cls(planes, stride if j == 0 else 1, d,
-                              downsample=(j == 0),
+                              downsample=need_down,
                               name=f'layer{i + 1}_{j}')(x, train)
             planes *= 2
             if i in self.out_indices:
