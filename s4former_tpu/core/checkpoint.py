@@ -496,6 +496,83 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_twins_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg Twins (PCPVT/SVT) state_dict -> flax params subtree.
+
+    Reference layout (mmseg/models/backbones/twins.py:78-510):
+      patch_embeds.{s}.projection.* + patch_embeds.{s}.norm.*
+      position_encodings.{s}.proj.*      (CPE depthwise 3x3, groups=C)
+      layers.{s}.{j}.norm1/norm2.*
+      GSA blocks: layers.{s}.{j}.attn.attn.in_proj_* / out_proj.* +
+        attn.sr.* + attn.norm.*          (EfficientMultiheadAttention)
+      LSA blocks: layers.{s}.{j}.attn.qkv.* / attn.proj.*   (SVT even j)
+      layers.{s}.{j}.ffn.layers.0.0.* / ffn.layers.1.*
+      norm_list.{s}.*                    (norm_after_stage)
+    """
+    p: Dict[str, Any] = {}
+
+    def ln(k):
+        return {'scale': sd[k + '.weight'], 'bias': sd[k + '.bias']}
+
+    s = 0
+    while f'patch_embeds.{s}.projection.weight' in sd:
+        w = sd[f'patch_embeds.{s}.projection.weight']     # [C,Cin,p,p]
+        p[f'patch_embed_{s}'] = {
+            'kernel': np.transpose(w, (2, 3, 1, 0)),
+            'bias': sd[f'patch_embeds.{s}.projection.bias']}
+        p[f'embed_norm_{s}'] = ln(f'patch_embeds.{s}.norm')
+        if f'position_encodings.{s}.proj.weight' in sd:
+            dw = sd[f'position_encodings.{s}.proj.weight']  # [C,1,3,3]
+            p[f'peg_{s}'] = {
+                'kernel': np.transpose(dw, (2, 3, 1, 0)),
+                'bias': sd[f'position_encodings.{s}.proj.bias']}
+        j = 0
+        while f'layers.{s}.{j}.norm1.weight' in sd:
+            pre = f'layers.{s}.{j}.'
+            if pre + 'attn.qkv.weight' in sd:             # LSA
+                attn = {'qkv': {'kernel': sd[pre + 'attn.qkv.weight'].T},
+                        'proj': {'kernel': sd[pre + 'attn.proj.weight'].T,
+                                 'bias': sd[pre + 'attn.proj.bias']}}
+                if pre + 'attn.qkv.bias' in sd:
+                    attn['qkv']['bias'] = sd[pre + 'attn.qkv.bias']
+            else:                                         # GSA
+                c = sd[pre + 'norm1.weight'].shape[0]
+                in_w = sd[pre + 'attn.attn.in_proj_weight']   # [3C, C]
+                attn = {
+                    'q': {'kernel': in_w[:c].T},
+                    'kv': {'kernel': in_w[c:].T},
+                    'proj': {
+                        'kernel': sd[pre + 'attn.attn.out_proj.weight'].T,
+                        'bias': sd[pre + 'attn.attn.out_proj.bias']},
+                }
+                if pre + 'attn.attn.in_proj_bias' in sd:
+                    in_b = sd[pre + 'attn.attn.in_proj_bias']
+                    attn['q']['bias'] = in_b[:c]
+                    attn['kv']['bias'] = in_b[c:]
+                if pre + 'attn.sr.weight' in sd:
+                    attn['sr'] = {
+                        'kernel': np.transpose(sd[pre + 'attn.sr.weight'],
+                                               (2, 3, 1, 0)),
+                        'bias': sd[pre + 'attn.sr.bias']}
+                    attn['sr_norm'] = ln(pre + 'attn.norm')
+            p[f'stage{s}_block{j}'] = {
+                'norm1': ln(pre + 'norm1'),
+                'attn': attn,
+                'norm2': ln(pre + 'norm2'),
+                'mlp': {
+                    'fc1': {'kernel': sd[pre + 'ffn.layers.0.0.weight'].T,
+                            'bias': sd[pre + 'ffn.layers.0.0.bias']},
+                    'fc2': {'kernel': sd[pre + 'ffn.layers.1.weight'].T,
+                            'bias': sd[pre + 'ffn.layers.1.bias']},
+                },
+            }
+            j += 1
+        if f'norm_list.{s}.weight' in sd:
+            p[f'out_norm_{s}'] = ln(f'norm_list.{s}')
+        s += 1
+    return p, {}
+
+
 def convert_segformer_head(sd: Dict[str, np.ndarray], prefix: str = ''
                            ) -> Tuple[Dict, Dict]:
     """mmseg SegformerHead state_dict -> (params, batch_stats) subtrees.
@@ -594,6 +671,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_swin_backbone(bb_sd)
         if 'layers.0.gamma_1' in bb_sd:                  # BEiT/MAE
             return convert_beit_backbone(bb_sd)
+        if 'patch_embeds.0.projection.weight' in bb_sd:  # Twins
+            return convert_twins_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:
             return convert_resnet_backbone(bb_sd)
         return convert_vit_backbone(bb_sd, num_layers, dst_grid)

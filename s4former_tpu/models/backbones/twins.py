@@ -95,8 +95,20 @@ class LSA(nn.Module):
         q = q.reshape(n, ws * ws, hd, d)
         k = k.reshape(n, ws * ws, hd, d)
         v = v.reshape(n, ws * ws, hd, d)
-        attn = jax.nn.softmax(
-            jnp.einsum('bqhd,bkhd->bhqk', q, k) / jnp.sqrt(float(d)), -1)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k) / jnp.sqrt(float(d))
+        if pad_h or pad_w:
+            # reference LSA (twins.py:195-240): -1000 on valid<->pad pairs
+            # in border windows (pad<->pad pairs attend freely); static
+            # from (h, w, ws), so it constant-folds
+            pm = jnp.zeros((hh, ww), jnp.float32)
+            pm = pm.at[h:, :].set(1.0)
+            pm = pm.at[:, w:].set(1.0)
+            pm = pm.reshape(gh, ws, gw, ws).transpose(0, 2, 1, 3)
+            pm = pm.reshape(gh * gw, ws * ws)
+            am = pm[:, :, None] - pm[:, None, :]
+            am = jnp.where(am != 0, -1000.0, 0.0)
+            logits = logits + jnp.tile(am, (b, 1, 1))[:, None]
+        attn = jax.nn.softmax(logits, -1)
         out = jnp.einsum('bhqk,bkhd->bqhd', attn, v).reshape(n, ws * ws, c)
         out = nn.Dense(c, name='proj')(out)
         out = out.reshape(b, gh, gw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
