@@ -608,6 +608,90 @@ def convert_segformer_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def _convmodule(sd, key):
+    """mmseg ConvModule (conv-no-bias + BN) -> ConvBNReLU subtrees."""
+    w = sd[key + '.conv.weight']
+    p = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+         'bn': {'scale': sd[key + '.bn.weight'],
+                'bias': sd[key + '.bn.bias']}}
+    if key + '.conv.bias' in sd:
+        p['conv']['bias'] = sd[key + '.conv.bias']
+    bs = {'bn': {'mean': sd[key + '.bn.running_mean'],
+                 'var': sd[key + '.bn.running_var']}}
+    return p, bs
+
+
+def convert_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg FCNHead (fcn_head.py: convs + optional conv_cat + conv_seg)
+    -> our misc_heads.FCNHead layout."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'convs.{i}.conv.weight' in sd:
+        p[f'convs_{i}'], bs[f'convs_{i}'] = _convmodule(
+            sd, prefix + f'convs.{i}')
+        i += 1
+    if prefix + 'conv_cat.conv.weight' in sd:
+        p['conv_cat'], bs['conv_cat'] = _convmodule(sd, prefix + 'conv_cat')
+    if prefix + 'conv_seg.weight' in sd:
+        w = sd[prefix + 'conv_seg.weight']
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': sd[prefix + 'conv_seg.bias']}
+    return p, bs
+
+
+def convert_psp_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg PSPHead (psp_head.py PPM: psp_modules.{i}.1 ConvModule after
+    the adaptive pool + bottleneck + conv_seg) -> misc_heads.PSPHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'psp_modules.{i}.1.conv.weight' in sd:
+        p[f'pool_conv_{i}'], bs[f'pool_conv_{i}'] = _convmodule(
+            sd, prefix + f'psp_modules.{i}.1')
+        i += 1
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['bottleneck'], bs['bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    if prefix + 'conv_seg.weight' in sd:
+        w = sd[prefix + 'conv_seg.weight']
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': sd[prefix + 'conv_seg.bias']}
+    return p, bs
+
+
+def convert_uper_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                      ) -> Tuple[Dict, Dict]:
+    """mmseg UPerHead (uper_head.py: PPM + bottleneck + lateral_convs +
+    fpn_convs + fpn_bottleneck + conv_seg) -> misc_heads.UPerHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'psp_modules.{i}.1.conv.weight' in sd:
+        p[f'psp_{i}'], bs[f'psp_{i}'] = _convmodule(
+            sd, prefix + f'psp_modules.{i}.1')
+        i += 1
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['psp_bottleneck'], bs['psp_bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    for ref, ours in (('lateral_convs', 'lateral'), ('fpn_convs', 'fpn')):
+        i = 0
+        while prefix + f'{ref}.{i}.conv.weight' in sd:
+            p[f'{ours}_{i}'], bs[f'{ours}_{i}'] = _convmodule(
+                sd, prefix + f'{ref}.{i}')
+            i += 1
+    if prefix + 'fpn_bottleneck.conv.weight' in sd:
+        p['fpn_bottleneck'], bs['fpn_bottleneck'] = _convmodule(
+            sd, prefix + 'fpn_bottleneck')
+    if prefix + 'conv_seg.weight' in sd:
+        w = sd[prefix + 'conv_seg.weight']
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': sd[prefix + 'conv_seg.bias']}
+    return p, bs
+
+
 def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg SETRUPHead state_dict -> (params, batch_stats) subtrees."""
@@ -689,8 +773,14 @@ def convert_mmseg_checkpoint(path_or_sd,
         # SegFormer EncoderDecoder checkpoint carries SegformerHead aux/EMA
         # twins; blindly running them through the SETR converter produced
         # empty subtrees that merge_pretrained silently skipped)
-        if 'convs.0.conv.weight' in hd:          # SegformerHead layout
+        if 'fusion_conv.conv.weight' in hd:      # SegformerHead layout
             return convert_segformer_head(hd)
+        if 'lateral_convs.0.conv.weight' in hd:  # UPerHead
+            return convert_uper_head(hd)
+        if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead
+            return convert_psp_head(hd)
+        if 'convs.0.conv.weight' in hd:          # FCNHead
+            return convert_fcn_head(hd)
         return convert_setr_up_head(hd)
 
     dh = sub('decode_head.')

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from s4former_tpu.models.decode_heads.base import (transform_inputs,
                                                    unshuffle_feature_map)
-from s4former_tpu.ops.resize import resize_bilinear
+from s4former_tpu.ops.resize import adaptive_avg_pool, resize_bilinear
 from s4former_tpu.registry import HEADS
 
 Array = jax.Array
@@ -158,12 +158,11 @@ class PSPHead(nn.Module):
         h, w = x.shape[1:3]
         branches = [x]
         for i, s in enumerate(self.pool_scales):
-            # adaptive average pool to s x s
-            ph, pw = h // s, w // s
-            pooled = jnp.mean(
-                x[:, :s * ph, :s * pw].reshape(
-                    x.shape[0], s, ph, s, pw, x.shape[-1]),
-                axis=(2, 4))
+            # exact torch-AdaptiveAvgPool2d windows as constant matmuls
+            # (the old s*floor(h/s) truncation dropped border rows
+            # whenever h % s != 0 — e.g. every 16x16 1/32 map at scales
+            # 3 and 6)
+            pooled = adaptive_avg_pool(x, (s, s))
             y = ConvBNReLU(self.channels, 1, name=f'pool_conv_{i}')(
                 pooled, train)
             branches.append(resize_bilinear(y, (h, w), self.align_corners))
@@ -204,10 +203,9 @@ class UPerHead(nn.Module):
         h, w = x.shape[1:3]
         branches = [x]
         for i, s in enumerate(self.pool_scales):
-            ph, pw = max(h // s, 1), max(w // s, 1)
-            pooled = jnp.mean(
-                x[:, :s * ph, :s * pw].reshape(
-                    x.shape[0], s, ph, s, pw, x.shape[-1]), axis=(2, 4))
+            # exact adaptive-pool windows (see PSPHead note; handles
+            # h < s like torch — repeated rows)
+            pooled = adaptive_avg_pool(x, (s, s))
             y = ConvBNReLU(self.channels, 1, name=f'psp_{i}')(pooled, train)
             branches.append(resize_bilinear(y, (h, w), self.align_corners))
         psp = ConvBNReLU(self.channels, 3, name='psp_bottleneck')(

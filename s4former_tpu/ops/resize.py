@@ -83,6 +83,38 @@ def _interp_matrix(in_size: int, out_size: int,
     return jnp.asarray(interp_matrix_np(in_size, out_size, align_corners))
 
 
+def adaptive_pool_matrix_np(in_size: int, out_size: int):
+    """NUMPY [out_size, in_size] row-averaging matrix reproducing
+    ``torch.nn.AdaptiveAvgPool2d`` window semantics exactly: output cell
+    i averages input rows [floor(i*h/s), ceil((i+1)*h/s)) — ALL input
+    rows are covered even when in_size % out_size != 0."""
+    import numpy as np
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -((-(i + 1) * in_size) // out_size)   # ceil
+        m[i, start:end] = 1.0 / (end - start)
+    return m
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """NHWC adaptive average pool as two constant matmuls (MXU-friendly,
+    exact torch AdaptiveAvgPool2d parity for any size)."""
+    oh, ow = out_hw
+    n, h, w, c = x.shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if oh != h:
+        m_h = jnp.asarray(adaptive_pool_matrix_np(h, oh))
+        xf = jnp.einsum('oh,nhwc->nowc', m_h, xf,
+                        preferred_element_type=jnp.float32)
+    if ow != w:
+        m_w = jnp.asarray(adaptive_pool_matrix_np(w, ow))
+        xf = jnp.einsum('pw,nhwc->nhpc', m_w, xf,
+                        preferred_element_type=jnp.float32)
+    return xf.astype(dtype)
+
+
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
                     align_corners: bool = False) -> jax.Array:
     """Bilinear resize of NHWC (or HWC) array, torch-parity.

@@ -1,0 +1,198 @@
+"""FCN/PSP/UPer head checkpoint-ingestion parity vs torch oracles.
+
+Oracles mirror mmseg heads: FCNHead (fcn_head.py: stacked 3x3
+ConvModules + optional concat_input), PSPHead (psp_head.py PPM:
+AdaptiveAvgPool2d -> 1x1 ConvModule -> bilinear back, 3x3 bottleneck),
+UPerHead (uper_head.py: PPM on the deepest level + FPN top-down).
+
+The feature size (10x10) is deliberately NOT divisible by pool scales
+3 and 6 — torch AdaptiveAvgPool2d covers border rows with variable
+windows, which the matmul-form ``ops.resize.adaptive_avg_pool`` now
+reproduces exactly (the old truncating pool dropped them).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import s4former_tpu.models  # noqa: F401
+from s4former_tpu.core.checkpoint import (convert_fcn_head,
+                                          convert_psp_head,
+                                          convert_uper_head,
+                                          merge_pretrained)
+from s4former_tpu.registry import HEADS
+
+
+def build_head(cfg):
+    return HEADS.build(cfg)
+
+NCLS = 5
+CH = 8
+
+
+class TorchConvModule(torch.nn.Module):
+    def __init__(self, cin, cout, k, dilation=1):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k,
+                                    padding=dilation * (k - 1) // 2,
+                                    dilation=dilation, bias=False)
+        self.bn = torch.nn.BatchNorm2d(cout)
+        with torch.no_grad():
+            self.bn.running_mean.normal_(0, 0.5)
+            self.bn.running_var.uniform_(0.5, 2.0)
+            self.bn.weight.normal_(1, 0.2)
+            self.bn.bias.normal_(0, 0.2)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+    def dump(self, sd, key):
+        sd[key + '.conv.weight'] = self.conv.weight
+        sd[key + '.bn.weight'] = self.bn.weight
+        sd[key + '.bn.bias'] = self.bn.bias
+        sd[key + '.bn.running_mean'] = self.bn.running_mean
+        sd[key + '.bn.running_var'] = self.bn.running_var
+
+
+def _seg(sd, conv_seg, key='conv_seg'):
+    sd[key + '.weight'] = conv_seg.weight
+    sd[key + '.bias'] = conv_seg.bias
+
+
+def _np_sd(sd):
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def _apply(head_cfg, converter, sd_np, feats):
+    head = build_head(head_cfg)
+    variables = head.init(jax.random.PRNGKey(0),
+                          [jnp.asarray(f) for f in feats], train=False)
+    p, bs = converter(sd_np)
+    variables = merge_pretrained(
+        variables, {'params': p, 'batch_stats': bs})
+    return np.asarray(head.apply(variables,
+                                 [jnp.asarray(f) for f in feats],
+                                 train=False))
+
+
+def test_fcn_head_ingestion_parity():
+    torch.manual_seed(0)
+    cin = 12
+    convs = torch.nn.ModuleList([TorchConvModule(cin, CH, 3),
+                                 TorchConvModule(CH, CH, 3)])
+    conv_cat = TorchConvModule(cin + CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'convs.{i}')
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (*convs, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(0)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        y = convs[1](convs[0](x))
+        y = conv_cat(torch.cat([x, y], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='FCNHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, num_convs=2, concat_input=True,
+                      in_index=0, dropout_ratio=0),
+                 convert_fcn_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def _torch_ppm(x, scales, mods, align=False):
+    outs = [x]
+    for s, m in zip(scales, mods):
+        p = F.adaptive_avg_pool2d(x, s)
+        p = m(p)
+        outs.append(F.interpolate(p, size=x.shape[2:], mode='bilinear',
+                                  align_corners=align))
+    return outs
+
+
+def test_psp_head_ingestion_parity():
+    torch.manual_seed(1)
+    cin = 12
+    scales = (1, 2, 3, 6)
+    ppm = torch.nn.ModuleList(TorchConvModule(cin, CH, 1)
+                              for _ in scales)
+    bottleneck = TorchConvModule(cin + 4 * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(ppm):
+        m.dump(sd, f'psp_modules.{i}.1')
+    bottleneck.dump(sd, 'bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (*ppm, bottleneck, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(1)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        y = bottleneck(torch.cat(_torch_ppm(x, scales, ppm), 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='PSPHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, pool_scales=scales, in_index=0,
+                      dropout_ratio=0),
+                 convert_psp_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_uper_head_ingestion_parity():
+    torch.manual_seed(2)
+    cins = (6, 8, 12)
+    scales = (1, 2, 3, 6)
+    ppm = torch.nn.ModuleList(TorchConvModule(cins[-1], CH, 1)
+                              for _ in scales)
+    bottleneck = TorchConvModule(cins[-1] + 4 * CH, CH, 3)
+    laterals = torch.nn.ModuleList(TorchConvModule(c, CH, 1)
+                                   for c in cins[:-1])
+    fpns = torch.nn.ModuleList(TorchConvModule(CH, CH, 3)
+                               for _ in cins[:-1])
+    fpn_bottleneck = TorchConvModule(3 * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(ppm):
+        m.dump(sd, f'psp_modules.{i}.1')
+    bottleneck.dump(sd, 'bottleneck')
+    for i, m in enumerate(laterals):
+        m.dump(sd, f'lateral_convs.{i}')
+    for i, m in enumerate(fpns):
+        m.dump(sd, f'fpn_convs.{i}')
+    fpn_bottleneck.dump(sd, 'fpn_bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (*ppm, bottleneck, *laterals, *fpns, fpn_bottleneck,
+              conv_seg):
+        m.eval()
+    rng = np.random.RandomState(2)
+    feats = [rng.randn(2, hw, hw, c).astype(np.float32)
+             for hw, c in zip((20, 10, 5), cins)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        psp = bottleneck(torch.cat(_torch_ppm(xs[-1], scales, ppm), 1))
+        lats = [m(x) for m, x in zip(laterals, xs[:-1])] + [psp]
+        for i in range(len(lats) - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + F.interpolate(
+                lats[i], size=lats[i - 1].shape[2:], mode='bilinear',
+                align_corners=False)
+        outs = [m(l) for m, l in zip(fpns, lats[:-1])] + [lats[-1]]
+        outs = [o if o.shape[2:] == outs[0].shape[2:] else
+                F.interpolate(o, size=outs[0].shape[2:], mode='bilinear',
+                              align_corners=False) for o in outs]
+        y = fpn_bottleneck(torch.cat(outs, 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='UPerHead', in_channels=cins, channels=CH,
+                      num_classes=NCLS, pool_scales=scales,
+                      in_index=(0, 1, 2), dropout_ratio=0),
+                 convert_uper_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
