@@ -35,8 +35,15 @@ def main():
                                               make_semi_train_step)
 
     n_chips = len(jax.devices())
-    sup_per_chip = int(os.environ.get('BENCH_SUP_PER_CHIP', 4))
-    unsup_per_chip = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 4))
+    # 8+8 per chip is the reference's GLOBAL batch (2 GPUs x (4 sup + 4
+    # unsup), configs/setr/..._MT_w_ours.py:31-33) — with SyncBN the
+    # reference's BN moments span the global batch too, so one v5e chip
+    # at 8+8 reproduces the exact training dynamics of the reference's
+    # 2xA100 setup while measuring 44.5 vs 41.5 img/s/chip (round-4
+    # A/B; BENCH_SUP_PER_CHIP=4 BENCH_UNSUP_PER_CHIP=4 for the per-GPU-
+    # batch-matched variant).
+    sup_per_chip = int(os.environ.get('BENCH_SUP_PER_CHIP', 8))
+    unsup_per_chip = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 8))
     steps = int(os.environ.get('BENCH_STEPS', 20))
     warmup = int(os.environ.get('BENCH_WARMUP', 3))
 
@@ -44,9 +51,9 @@ def main():
     flagship = copy.deepcopy(FLAGSHIP)
     dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
     flagship['backbone']['dtype'] = dtype
-    # remat OFF by default: the deferred-classifier heads freed enough HBM
-    # that the full fwd+bwd fits at 4+4, and skipping the recompute is
-    # worth ~4% (33.5 -> 34.8 img/s). 8+8 needs BENCH_REMAT=1.
+    # remat OFF by default: with the stack unrolled, remat on/off/policy
+    # measure identically at 4+4 (41.52-41.54, round-4 A/B) and 8+8 fits
+    # without remat (unlike the round-2 scanned stack).
     flagship['backbone']['remat_layers'] = \
         os.environ.get('BENCH_REMAT', '0') == '1'
     flagship['backbone']['use_flash'] = \

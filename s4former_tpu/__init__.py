@@ -10,6 +10,8 @@ from s4former_tpu.config import Config, ConfigDict, DictAction  # noqa: F401
 from s4former_tpu.registry import (BACKBONES, DATASETS, HEADS, LOSSES,  # noqa: F401
                                    MODELS, PIPELINES, SAMPLERS, SEGMENTORS)
 
-from s4former_tpu.utils.env import setup_compilation_cache as _scc
+from s4former_tpu.utils.env import (apply_platform_override as _apo,
+                                    setup_compilation_cache as _scc)
+_apo()
 _scc()
-del _scc
+del _apo, _scc

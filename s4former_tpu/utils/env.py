@@ -8,6 +8,24 @@ the reference's cudnn_benchmark autotune-cache role
 import os
 
 
+def apply_platform_override():
+    """Honor ``S4_PLATFORM`` (e.g. ``cpu``) before first device use.
+
+    This image's sitecustomize force-registers the remote-TPU PJRT
+    plugin and stomps ``JAX_PLATFORMS``, so a plain env var cannot force
+    the CPU backend; ``jax.config.update`` before backend init can.
+    Lets every CLI tool run when the TPU tunnel is absent/stale
+    (``S4_PLATFORM=cpu python tools/train.py ...``)."""
+    plat = os.environ.get('S4_PLATFORM')
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update('jax_platforms', plat)
+    except Exception:
+        pass
+
+
 def setup_compilation_cache(path: str = None):
     try:
         import jax
