@@ -28,6 +28,11 @@ def parse_args():
     parser.add_argument('--max-iters', type=int, default=None,
                         help='override runner.max_iters')
     parser.add_argument('--no-validate', action='store_true')
+    parser.add_argument('--model-parallel', type=int, default=1,
+                        help='tensor-parallel mesh axis size (Megatron-'
+                             'style shardings from parallel/tp.py; 1 = '
+                             'pure data parallelism, the reference '
+                             'semantics)')
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'tpu', 'slurm', 'mpi', 'env'],
                         help='multi-host bootstrap (jax.distributed); '
@@ -97,8 +102,14 @@ def main():
                            'training from scratch')
 
     state = create_train_state(variables, ema=semi_cfg.ema)
-    mesh = make_mesh()
-    state = replicate_state(mesh, state)
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    if args.model_parallel > 1:
+        from s4former_tpu.parallel.tp import shard_train_state
+        state = shard_train_state(mesh, state)
+        logger.info(f'tensor parallelism: model axis = '
+                    f'{args.model_parallel} (Megatron shardings)')
+    else:
+        state = replicate_state(mesh, state)
 
     # data
     train_cfg = cfg.data['train']
