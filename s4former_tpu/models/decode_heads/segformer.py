@@ -97,11 +97,12 @@ class SegformerHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        # classifier runs in the model compute dtype (a f32 conv here
-        # would upcast the full [B,H,W,C] feature map); logits cast to f32
-        # for the loss/softmax
+        # classifier stays in the model compute dtype; consumers (CE,
+        # softmax pseudo-labels, NCR, inference) upcast to f32 inside
+        # their own fused chains, so the loss-time resize to label size
+        # moves bf16 bytes instead of f32 (f32 models are unchanged)
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=self.dtype)(x).astype(jnp.float32)
+                         dtype=self.dtype)(x)
         if return_last_feat:
             return logits, feat
         return logits

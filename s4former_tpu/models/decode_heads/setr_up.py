@@ -116,11 +116,14 @@ class SETRUPHead(nn.Module):
         feat = x
         if self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=not train)
-        # classifier runs in the model compute dtype (a f32 conv here
-        # would upcast the full [B,H,W,C] feature map); logits cast to f32
-        # for the loss/softmax
+        # classifier AND the deferred upsample run in the model compute
+        # dtype: every consumer (CE one-hot contraction, softmax pseudo-
+        # labels, NCR, inference) upcasts to f32 inside its own fused
+        # elementwise chain, so returning bf16 halves the bytes of the
+        # largest tensors in the step ([B,512,512,C] logits x 5 heads x
+        # fwd+bwd) without changing any f32-model numerics.
         logits = nn.Conv(self.num_classes, (1, 1), name='conv_seg',
-                         dtype=self.dtype)(x).astype(jnp.float32)
+                         dtype=self.dtype)(x)
         if defer_last_up:
             logits = resize_bilinear(
                 logits,

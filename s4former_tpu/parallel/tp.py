@@ -26,6 +26,13 @@ axis leading — specs put 'model' on the last/second-to-last dim and
 leave the stack axis alone), for MiT's per-stage blocks, and for the EMA
 twin / SGD-momentum trees, which mirror ``params`` structure exactly.
 
+``zero3=True`` additionally shards every rule-matched kernel (and its
+EMA/momentum mirror) over the 'data' axis on its other matmul dim —
+ZeRO-3 / FSDP semantics out of the compiler: GSPMD all-gathers weights
+at each use and reduce-scatters their gradients, so per-device state
+memory falls by the data-axis size while the math stays identical
+(pinned in tests/test_parallel/test_tp.py).
+
 Scope note: TP here shards parameter + optimizer + activation memory and
 compute of the attention/FFN matmuls. The packed-qkv layout means the
 3C output split is not head-aligned for every mesh size; GSPMD inserts
@@ -56,46 +63,65 @@ _RULES: Tuple[Tuple[str, str], ...] = (
 )
 
 
-def _spec_for(path: str, ndim: int, shape, axis_size: int) -> P:
+def _spec_for(path: str, ndim: int, shape, axis_size: int,
+              zero3_axis: int = 1) -> P:
+    is_kernel = path.rstrip('/').endswith('kernel')
     for frag, kind in _RULES:
         if frag in path:
             if kind == 'col':
                 if shape[-1] % axis_size:
                     return P()
-                return P(*([None] * (ndim - 1) + ['model']))
+                spec = [None] * (ndim - 1) + ['model']
+                # ZeRO-3 composition: also shard the kernel IN dim over
+                # 'data' — XLA all-gathers weights per use and reduce-
+                # scatters grads, the ZeRO-3 schedule, for free
+                if zero3_axis > 1 and is_kernel and ndim >= 2 \
+                        and shape[-2] % zero3_axis == 0:
+                    spec[-2] = 'data'
+                return P(*spec)
             # row: kernels only — row-split biases replicate in Megatron
             # (keying on the leaf name, since a STACKED bias [L, C] is
             # 2-D and the dim count alone can't tell it from a kernel)
-            if path.rstrip('/').endswith('kernel') and ndim >= 2 \
-                    and shape[-2] % axis_size == 0:
-                return P(*([None] * (ndim - 2) + ['model', None]))
+            if is_kernel and ndim >= 2 and shape[-2] % axis_size == 0:
+                spec = [None] * (ndim - 2) + ['model', None]
+                if zero3_axis > 1 and shape[-1] % zero3_axis == 0:
+                    spec[-1] = 'data'
+                return P(*spec)
             return P()
     return P()
 
 
-def tp_param_specs(params: Pytree, mesh: Mesh) -> Pytree:
-    """PartitionSpec pytree for ``params`` under ``mesh``'s 'model' axis.
+def tp_param_specs(params: Pytree, mesh: Mesh, zero3: bool = False) -> Pytree:
+    """PartitionSpec pytree for ``params`` under ``mesh``'s axes.
 
-    Works for any tree whose structure mirrors ``params`` (EMA twin, SGD
-    momentum). With model-axis size 1 every spec is ``P()`` (pure DP).
+    'model' carries the Megatron column/row splits; with ``zero3`` the
+    matched kernels are ALSO sharded over 'data' on their other matmul
+    dim, which turns the data axis into a ZeRO-3 weight shard (GSPMD
+    emits the per-use all-gather + grad reduce-scatter). Works for any
+    tree whose structure mirrors ``params`` (EMA twin, SGD momentum —
+    so optimizer state is sharded too, the actual ZeRO memory win).
+    With model-axis size 1 and zero3=False every spec is ``P()``.
     """
-    axis = dict(zip(mesh.axis_names, mesh.devices.shape)).get('model', 1)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    axis = sizes.get('model', 1)
+    zaxis = sizes.get('data', 1) if zero3 else 1
 
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + k + '/') for k, v in tree.items()}
-        if axis <= 1 or not hasattr(tree, 'ndim'):
+        if (axis <= 1 and zaxis <= 1) or not hasattr(tree, 'ndim'):
             return P()
-        return _spec_for(path, tree.ndim, tree.shape, axis)
+        return _spec_for(path, tree.ndim, tree.shape, max(axis, 1), zaxis)
 
     return walk(params, '/')
 
 
-def shard_train_state(mesh: Mesh, state, tp: bool = True):
-    """Device-put a TrainState: params/EMA/momentum by the TP specs,
-    batch stats + scalars replicated. The DP axis never shards state —
-    the batch axis of the inputs carries it (mesh.py)."""
-    specs = tp_param_specs(state.params, mesh) if tp else None
+def shard_train_state(mesh: Mesh, state, tp: bool = True,
+                      zero3: bool = False):
+    """Device-put a TrainState: params/EMA/momentum by the TP(+ZeRO-3)
+    specs, batch stats + scalars replicated. Without zero3 the DP axis
+    never shards state — the batch axis of the inputs carries it."""
+    specs = tp_param_specs(state.params, mesh, zero3) if tp else None
 
     def put_like(tree):
         if specs is None:
@@ -119,11 +145,12 @@ def shard_train_state(mesh: Mesh, state, tp: bool = True):
     )
 
 
-def tp_out_shardings(mesh: Mesh, state, tp: bool = True):
+def tp_out_shardings(mesh: Mesh, state, tp: bool = True,
+                     zero3: bool = False):
     """jit ``out_shardings`` pin for (TrainState, logs): keeps the TP
     layout stable across steps so GSPMD never round-trips a resharding
     between iterations."""
-    specs = tp_param_specs(state.params, mesh) if tp else None
+    specs = tp_param_specs(state.params, mesh, zero3) if tp else None
     rep = NamedSharding(mesh, P())
 
     def like(tree):

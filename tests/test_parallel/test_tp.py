@@ -85,6 +85,47 @@ def test_tp_step_matches_unsharded():
     assert qkv.sharding.spec == P(None, None, 'model')
 
 
+def test_zero3_specs_shard_over_data():
+    _, state = _flagship_like_state()
+    mesh = make_mesh(8, model_parallel=2)
+    specs = tp_param_specs(state.params, mesh, zero3=True)
+    blk = specs['backbone_m']['layers']['block']
+    # col kernels: in-dim over 'data' (ZeRO), out-dim over 'model' (TP)
+    assert blk['attn']['qkv']['kernel'] == P(None, 'data', 'model')
+    assert blk['ffn']['fc1']['kernel'] == P(None, 'data', 'model')
+    # row kernels: in-dim 'model', out-dim 'data'
+    assert blk['attn']['proj']['kernel'] == P(None, 'model', 'data')
+    assert blk['ffn']['fc2']['kernel'] == P(None, 'model', 'data')
+    # biases keep their pure-TP layout
+    assert blk['attn']['qkv']['bias'] == P(None, 'model')
+    assert blk['attn']['proj']['bias'] == P()
+
+
+def test_zero3_step_matches_unsharded():
+    """DP=4 x TP=2 with ZeRO-3 weight sharding == the unsharded step."""
+    model, state = _flagship_like_state()
+    step = make_semi_train_step(model, S4_CFG, num_classes=5,
+                                base_lr=0.01, max_iters=100)
+    batch = _batch()
+    key = jax.random.PRNGKey(42)
+    new_un, logs_un = jax.jit(step)(state, batch, key)
+
+    mesh = make_mesh(8, model_parallel=2)
+    state_z = shard_train_state(mesh, state, zero3=True)
+    jit_z = jax.jit(step, out_shardings=(
+        tp_out_shardings(mesh, state, zero3=True), None))
+    with mesh:
+        new_z, logs_z = jit_z(state_z, shard_batch(mesh, batch),
+                              jax.device_put(key))
+    np.testing.assert_allclose(float(logs_un['loss']),
+                               float(logs_z['loss']), rtol=2e-4)
+    _tree_allclose(new_un.params, new_z.params, 1e-4, 1e-5, 'params')
+    _tree_allclose(new_un.momentum, new_z.momentum, 1e-4, 1e-5, 'momentum')
+    qkv = new_z.params['backbone_m']['layers']['block']['attn']['qkv'][
+        'kernel']
+    assert qkv.sharding.spec == P(None, 'data', 'model')
+
+
 def test_tp_trajectory_stays_sharded():
     """3 chained steps under TP: trajectory matches DP-unsharded and the
     weights never lose their 'model' sharding between steps."""

@@ -33,6 +33,9 @@ def parse_args():
                              'style shardings from parallel/tp.py; 1 = '
                              'pure data parallelism, the reference '
                              'semantics)')
+    parser.add_argument('--zero3', action='store_true',
+                        help='ZeRO-3/FSDP weight+optimizer sharding over '
+                             'the data axis (parallel/tp.py)')
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'tpu', 'slurm', 'mpi', 'env'],
                         help='multi-host bootstrap (jax.distributed); '
@@ -103,11 +106,11 @@ def main():
 
     state = create_train_state(variables, ema=semi_cfg.ema)
     mesh = make_mesh(model_parallel=args.model_parallel)
-    if args.model_parallel > 1:
+    if args.model_parallel > 1 or args.zero3:
         from s4former_tpu.parallel.tp import shard_train_state
-        state = shard_train_state(mesh, state)
-        logger.info(f'tensor parallelism: model axis = '
-                    f'{args.model_parallel} (Megatron shardings)')
+        state = shard_train_state(mesh, state, zero3=args.zero3)
+        logger.info(f'sharded state: model axis = {args.model_parallel} '
+                    f'(Megatron), zero3 = {args.zero3}')
     else:
         state = replicate_state(mesh, state)
 
