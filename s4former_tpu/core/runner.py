@@ -10,6 +10,7 @@ mIoU eval (EvalHook, core/evaluation/eval_hooks.py:14-64), checkpointing
 from __future__ import annotations
 
 import logging
+import os
 import os.path as osp
 import time
 from typing import Callable, Dict, Iterable, Optional
@@ -21,6 +22,60 @@ import numpy as np
 from s4former_tpu.core import checkpoint as ckpt_lib
 from s4former_tpu.core.metrics import pre_eval_to_metrics
 from s4former_tpu.utils.logger import get_root_logger
+
+
+class _DevicePrefetcher:
+    """Depth-k host->device pipeline.
+
+    ``next(loader)`` + the sharded ``device_put`` run in a background
+    thread so batch N+1's transfer overlaps step N's device execution —
+    the role torch-DataLoader's pin_memory+prefetch plays for the
+    reference (SURVEY §2.6). Measured need: on the tunneled runtime each
+    step ships ~36 MB of batch; serial transfer capped real training at
+    ~1.2 it/s despite a 194 ms device step (BENCH_NOTES round 4).
+
+    Exceptions in the worker are re-raised at the consuming ``get()``.
+    The thread is a daemon and also honors ``close()`` for prompt
+    shutdown when the runner stops mid-iterator.
+    """
+
+    def __init__(self, data_iter, put_fn, depth: int = 2):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._sentinel = object()
+
+        def work():
+            try:
+                for item in data_iter:
+                    if self._stop.is_set():
+                        return
+                    out = put_fn(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(out, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                self._q.put(self._sentinel)
+            except BaseException as e:  # forwarded to get()
+                self._q.put(e)
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name='s4-prefetch')
+        self._thread.start()
+
+    def get(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
 
 
 class IterBasedRunner:
@@ -36,6 +91,7 @@ class IterBasedRunner:
                  eval_interval: int = 1150,
                  eval_fn: Optional[Callable] = None,
                  seed: int = 0,
+                 prefetch: int = 2,
                  logger: Optional[logging.Logger] = None):
         # donate the state: params/momentum/EMA trees update in place on
         # device instead of allocating fresh buffers every step
@@ -49,6 +105,9 @@ class IterBasedRunner:
         self.checkpoint_interval = checkpoint_interval
         self.eval_interval = eval_interval
         self.eval_fn = eval_fn
+        # 0 disables the background host->device pipeline (bit-identical
+        # trajectories either way; only transfer/compute overlap changes)
+        self.prefetch = int(os.environ.get('S4_PREFETCH', prefetch))
         self.rng = jax.random.PRNGKey(seed)
         self.logger = logger or get_root_logger()
         self.best_miou = -1.0
@@ -68,16 +127,20 @@ class IterBasedRunner:
         start = int(self.state.step)
         it = start
         t_window = time.perf_counter()
-        data_wait = 0.0  # host time blocked on the loader queue
-        data_iter = iter(self.loader)
+        data_wait = 0.0  # host time blocked on the prefetch queue
+        put = (lambda b: shard_batch(self.mesh, b)) \
+            if self.mesh is not None else (lambda b: b)
+        prefetcher = _DevicePrefetcher(iter(self.loader), put,
+                                       depth=self.prefetch) \
+            if self.prefetch > 0 else None
+        data_iter = iter(self.loader) if prefetcher is None else None
         ctx = self.mesh if self.mesh is not None else _NullCtx()
         with ctx:
             while it < self.max_iters:
                 t_data = time.perf_counter()
-                batch = next(data_iter)
+                batch = prefetcher.get() if prefetcher is not None \
+                    else put(next(data_iter))
                 data_wait += time.perf_counter() - t_data
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
                 # per-step rng is derived INSIDE the step from state.step;
                 # passing the constant base key keeps the loop free of
                 # per-iteration host dispatches
@@ -118,6 +181,8 @@ class IterBasedRunner:
                     self._evaluate(it)
                 if it % self.checkpoint_interval == 0:
                     self._checkpoint(it)
+        if prefetcher is not None:
+            prefetcher.close()
         if it % self.checkpoint_interval != 0:  # avoid double final save
             self._checkpoint(it)
         # completion sentinel: the reference's Slurm array wrappers cancel
