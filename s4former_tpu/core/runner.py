@@ -240,7 +240,7 @@ def _pad_to_bucket(img: np.ndarray, bucket: int):
     return img, (h, w)
 
 
-def make_eval_fn(model, dataset, batch_size: int = 1,
+def make_eval_fn(model, dataset, batch_size: int = 4,
                  mode: str = 'whole', crop_size=(512, 512),
                  stride=(341, 341), mesh=None, shape_bucket: int = 256,
                  capture_images: int = 4):
@@ -268,6 +268,12 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
     tools/measure_eval_divergence.py); the valid region's interp taps
     only reference valid input rows/cols, so the resize itself adds
     nothing.
+
+    ``batch_size`` (env ``S4_EVAL_BATCH``) batches val images that share
+    a (padded-input, output-bucket) shape key through one ``_pred`` call
+    — same executables, per-image exact interp matrices stacked on a
+    batch axis; partial groups pad by repeating the last image and score
+    only the real ones. batch_size=1 reproduces the per-image path.
     """
     from s4former_tpu.models.segmentors.inference import (slide_inference,
                                                           whole_inference)
@@ -284,10 +290,11 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
                                      stride)
         else:
             logits = whole_inference(apply_fn, img)
-        # ori-shape resize as two matmuls + argmax, all on device
-        x = jnp.einsum('oh,nhwc->nowc', m_h, logits,
+        # PER-IMAGE ori-shape resize as two batched matmuls + argmax, all
+        # on device (m_h/m_w carry one exact interp matrix per image)
+        x = jnp.einsum('noh,nhwc->nowc', m_h, logits,
                        preferred_element_type=jnp.float32)
-        x = jnp.einsum('pw,nhwc->nhpc', m_w, x,
+        x = jnp.einsum('npw,nhwc->nhpc', m_w, x,
                        preferred_element_type=jnp.float32)
         return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
@@ -308,14 +315,41 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
                              else interp_matrix_np(vh, gh, align))
             m_w[:gw, :vw] = (np.eye(vw, dtype=np.float32) if gw == vw
                              else interp_matrix_np(vw, gw, align))
-            matrix_cache[key] = (jnp.asarray(m_h), jnp.asarray(m_w))
+            matrix_cache[key] = (m_h, m_w)
         return matrix_cache[key]
+
+    bsz = max(1, int(os.environ.get('S4_EVAL_BATCH', batch_size)))
 
     def eval_fn(state):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
         pre_eval_results = []
-        eval_fn.last_samples = []
+        captures: Dict = {}
+
+        def flush(entries):
+            """entries: [(idx, img[1xphxpwx3], vh, vw, gt)] of one shape
+            key. Pads to bsz by repeating the last image so every flush
+            reuses the single per-key executable, then scores the real
+            n on host."""
+            n = len(entries)
+            padded = entries + [entries[-1]] * (bsz - n)
+            imgs = np.concatenate([e[1] for e in padded], axis=0)
+            mh, mw = zip(*[_matrices(vh, vw, imgs.shape[1], imgs.shape[2],
+                                     gt.shape)
+                           for (_, _, vh, vw, gt) in padded])
+            m_h = jnp.asarray(np.stack(mh))
+            m_w = jnp.asarray(np.stack(mw))
+            compiled_shapes.add((imgs.shape, m_h.shape[1], m_w.shape[1]))
+            preds = np.asarray(_pred(variables, imgs, m_h, m_w))
+            for (idx, img, vh, vw, gt), pred in zip(entries, preds[:n]):
+                pred = pred[:gt.shape[0], :gt.shape[1]]
+                if idx < capture_images:
+                    # (image, pred, gt) for the val-image table hook;
+                    # keyed by idx so batched flush order can't reorder
+                    captures[idx] = (img[0, :vh, :vw], pred, gt)
+                pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
+
+        buffers: Dict = {}  # shape key -> pending entries
         for idx in range(len(dataset)):
             item = dataset.get_item_deterministic(idx, seed=0)
             if isinstance(item, list):  # MultiScaleFlipAug single scale
@@ -323,15 +357,18 @@ def make_eval_fn(model, dataset, batch_size: int = 1,
             img = np.asarray(item['img'], np.float32)[None]
             img, (vh, vw) = _pad_to_bucket(img, shape_bucket)
             gt = dataset.get_gt_seg_map(idx)
-            m_h, m_w = _matrices(vh, vw, img.shape[1], img.shape[2],
-                                 gt.shape)
-            compiled_shapes.add((img.shape, m_h.shape[0], m_w.shape[0]))
-            pred = np.asarray(_pred(variables, img, m_h, m_w))[
-                0, :gt.shape[0], :gt.shape[1]]
-            if idx < capture_images:
-                # (image, pred, gt) for the val-image table hook
-                eval_fn.last_samples.append((img[0, :vh, :vw], pred, gt))
-            pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
+            bh = -(-gt.shape[0] // shape_bucket) * shape_bucket
+            bw = -(-gt.shape[1] // shape_bucket) * shape_bucket
+            key = (img.shape[1], img.shape[2], bh, bw)
+            pend = buffers.setdefault(key, [])
+            pend.append((idx, img, vh, vw, gt))
+            if len(pend) == bsz:
+                flush(pend)
+                buffers[key] = []
+        for pend in buffers.values():
+            if pend:
+                flush(pend)
+        eval_fn.last_samples = [captures[i] for i in sorted(captures)]
         tables = pre_eval_to_metrics(pre_eval_results, ('mIoU',))
         return {'aAcc': float(tables['aAcc']),
                 'mIoU': float(np.nanmean(tables['IoU'])),

@@ -87,6 +87,29 @@ def test_eval_variable_shapes_bounded_compiles():
     assert len(eval_fn.compiled_shapes) <= 4, eval_fn.compiled_shapes
 
 
+def test_batched_eval_matches_per_image():
+    """batch_size=4 (shape-keyed batching with pad-by-repeat) must score
+    exactly the per-image path: same mIoU/aAcc/mAcc and same captured
+    sample count/order."""
+    from s4former_tpu.core.runner import make_eval_fn
+    ds = _VarShapeDataset()
+
+    class _S:
+        params = {}
+        batch_stats = {}
+
+    f1 = make_eval_fn(_LinearModel(), ds, batch_size=1, shape_bucket=128)
+    f4 = make_eval_fn(_LinearModel(), ds, batch_size=4, shape_bucket=128)
+    m1 = f1(_S())
+    m4 = f4(_S())
+    for k in m1:
+        assert m1[k] == m4[k], (k, m1[k], m4[k])
+    assert len(f1.last_samples) == len(f4.last_samples)
+    for (i1, p1, g1), (i4, p4, g4) in zip(f1.last_samples, f4.last_samples):
+        np.testing.assert_array_equal(p1, p4)
+        np.testing.assert_array_equal(g1, g4)
+
+
 def test_logits_resized_before_argmax():
     """A checkerboard logit field whose bilinear upsample flips the winner
     between classes at inserted rows: nearest-on-prediction keeps hard
