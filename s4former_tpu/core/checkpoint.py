@@ -496,6 +496,50 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_mobilenet_v2_backbone(
+        sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg MobileNetV2 state_dict -> our flax params/batch_stats.
+
+    Reference layout (mmseg/models/backbones/mobilenet_v2.py:108-180 via
+    mmcv InvertedResidual): ``conv1.{conv,bn}.*`` stem, then
+    ``layer{s}.{j}.conv.{k}.{conv,bn}.*`` where the inner Sequential is
+    [expand 1x1, dw 3x3, project 1x1] for expand_ratio != 1 (layers 2-7)
+    and [dw, project] for layer1's expand_ratio 1. Ours names the same
+    three ConvBNActs expand/dw/project under ``layer{s-1}_{j}``.
+    Depthwise torch weights [C,1,k,k] transpose to flax grouped-conv
+    [k,k,1,C] like any OIHW->HWIO."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def convbn(prefix):
+        w = sd[prefix + '.conv.weight']
+        pp = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+              'bn': {'scale': sd[prefix + '.bn.weight'],
+                     'bias': sd[prefix + '.bn.bias']}}
+        bb = {'bn': {'mean': sd[prefix + '.bn.running_mean'],
+                     'var': sd[prefix + '.bn.running_var']}}
+        return pp, bb
+
+    p['stem'], bs['stem'] = convbn('conv1')
+    s = 1
+    while f'layer{s}.0.conv.0.conv.weight' in sd:
+        j = 0
+        while f'layer{s}.{j}.conv.0.conv.weight' in sd:
+            pre = f'layer{s}.{j}.conv'
+            has_expand = f'{pre}.2.conv.weight' in sd
+            names = ('expand', 'dw', 'project') if has_expand \
+                else ('dw', 'project')
+            blk_p: Dict[str, Any] = {}
+            blk_b: Dict[str, Any] = {}
+            for k, name in enumerate(names):
+                blk_p[name], blk_b[name] = convbn(f'{pre}.{k}')
+            p[f'layer{s - 1}_{j}'] = blk_p
+            bs[f'layer{s - 1}_{j}'] = blk_b
+            j += 1
+        s += 1
+    return p, bs
+
+
 def convert_twins_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """mmseg Twins (PCPVT/SVT) state_dict -> flax params subtree.
 
@@ -757,6 +801,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_beit_backbone(bb_sd)
         if 'patch_embeds.0.projection.weight' in bb_sd:  # Twins
             return convert_twins_backbone(bb_sd)
+        if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
+            return convert_mobilenet_v2_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:
             return convert_resnet_backbone(bb_sd)
         return convert_vit_backbone(bb_sd, num_layers, dst_grid)
