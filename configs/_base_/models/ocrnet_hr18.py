@@ -4,13 +4,14 @@ model = dict(
     type='CascadeEncoderDecoder',
     num_stages=2,
     backbone=dict(type='HRNet', extra=dict(
-        stage1=dict(num_modules=1, num_branches=1, num_blocks=(2,),
-                    num_channels=(64,)),
-        stage2=dict(num_modules=1, num_branches=2, num_blocks=(2, 2),
-                    num_channels=(18, 36)),
-        stage3=dict(num_modules=2, num_branches=3, num_blocks=(2, 2, 2),
-                    num_channels=(18, 36, 72)),
-        stage4=dict(num_modules=2, num_branches=4, num_blocks=(2, 2, 2, 2),
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(4,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(4, 4), num_channels=(18, 36)),
+        stage3=dict(num_modules=4, num_branches=3, block='BASIC',
+                    num_blocks=(4, 4, 4), num_channels=(18, 36, 72)),
+        stage4=dict(num_modules=3, num_branches=4, block='BASIC',
+                    num_blocks=(4, 4, 4, 4),
                     num_channels=(18, 36, 72, 144)))),
     decode_head=[
         dict(type='FCNHead', in_channels=[18, 36, 72, 144],

@@ -496,6 +496,102 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_hrnet_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg HRNet state_dict -> our flax params/batch_stats.
+
+    Reference layout (mmseg/models/backbones/hrnet.py:376-568):
+      conv1/bn1 + conv2/bn2 stem;
+      layer1.{k}.conv{1..3}/bn{1..3}(+downsample.0/1) ResNet blocks;
+      transition{t}.{i}.0/.1 (channel-fix) or .{i}.{j}.0/.1 (new-branch
+      stride-2 chain, each element a Sequential(conv, bn[, relu]));
+      stage{s}.{m}.branches.{b}.{k}.conv{1,2}/bn{1,2}(+downsample.0/1);
+      stage{s}.{m}.fuse_layers.{i}.{j}.0/.1 (1x1+BN, j>i) or
+      .{i}.{j}.{k}.0/.1 (downsample chain, j<i).
+    Ours: conv1/conv2, layer1_{k}, transition{t}_{i}[_{j}],
+    stage{s}_m{m}_br{b}_b{k}, stage{s}_m{m}_fuse_{i}_{j}[_{k}] — each a
+    ConvBN {conv,bn} (models/backbones/hrnet.py round-4 exact rebuild).
+    """
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def convbn(conv_key, bn_key):
+        w = sd[conv_key]
+        pp = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+              'bn': {'scale': sd[bn_key + '.weight'],
+                     'bias': sd[bn_key + '.bias']}}
+        bb = {'bn': {'mean': sd[bn_key + '.running_mean'],
+                     'var': sd[bn_key + '.running_var']}}
+        return pp, bb
+
+    def resblock(pre):
+        blk_p: Dict[str, Any] = {}
+        blk_b: Dict[str, Any] = {}
+        for c in (1, 2, 3):
+            if pre + f'conv{c}.weight' not in sd:
+                break
+            blk_p[f'conv{c}'], blk_b[f'conv{c}'] = convbn(
+                pre + f'conv{c}.weight', pre + f'bn{c}')
+        if pre + 'downsample.0.weight' in sd:
+            blk_p['downsample'], blk_b['downsample'] = convbn(
+                pre + 'downsample.0.weight', pre + 'downsample.1')
+        return blk_p, blk_b
+
+    p['conv1'], bs['conv1'] = convbn('conv1.weight', 'bn1')
+    p['conv2'], bs['conv2'] = convbn('conv2.weight', 'bn2')
+    k = 0
+    while f'layer1.{k}.conv1.weight' in sd:
+        p[f'layer1_{k}'], bs[f'layer1_{k}'] = resblock(f'layer1.{k}.')
+        k += 1
+    for t in (1, 2, 3):
+        i = 0
+        while True:
+            if f'transition{t}.{i}.0.weight' in sd:      # channel fix
+                p[f'transition{t}_{i}'], bs[f'transition{t}_{i}'] = \
+                    convbn(f'transition{t}.{i}.0.weight',
+                           f'transition{t}.{i}.1')
+            elif f'transition{t}.{i}.0.0.weight' in sd:  # new-branch chain
+                j = 0
+                while f'transition{t}.{i}.{j}.0.weight' in sd:
+                    key = f'transition{t}_{i}_{j}'
+                    p[key], bs[key] = convbn(
+                        f'transition{t}.{i}.{j}.0.weight',
+                        f'transition{t}.{i}.{j}.1')
+                    j += 1
+            elif i >= 8:   # identity transitions leave index gaps
+                break
+            i += 1
+    for s in (2, 3, 4):
+        m = 0
+        while f'stage{s}.{m}.branches.0.0.conv1.weight' in sd:
+            b = 0
+            while f'stage{s}.{m}.branches.{b}.0.conv1.weight' in sd:
+                k = 0
+                while f'stage{s}.{m}.branches.{b}.{k}.conv1.weight' in sd:
+                    key = f'stage{s}_m{m}_br{b}_b{k}'
+                    p[key], bs[key] = resblock(
+                        f'stage{s}.{m}.branches.{b}.{k}.')
+                    k += 1
+                b += 1
+            for i in range(b):
+                for j in range(b):
+                    if f'stage{s}.{m}.fuse_layers.{i}.{j}.0.weight' in sd:
+                        key = f'stage{s}_m{m}_fuse_{i}_{j}'
+                        p[key], bs[key] = convbn(
+                            f'stage{s}.{m}.fuse_layers.{i}.{j}.0.weight',
+                            f'stage{s}.{m}.fuse_layers.{i}.{j}.1')
+                    kk = 0
+                    while (f'stage{s}.{m}.fuse_layers.{i}.{j}.{kk}.0.weight'
+                           in sd):
+                        key = f'stage{s}_m{m}_fuse_{i}_{j}_{kk}'
+                        p[key], bs[key] = convbn(
+                            f'stage{s}.{m}.fuse_layers.{i}.{j}.{kk}.0'
+                            '.weight',
+                            f'stage{s}.{m}.fuse_layers.{i}.{j}.{kk}.1')
+                        kk += 1
+            m += 1
+    return p, bs
+
+
 def convert_mobilenet_v2_backbone(
         sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """mmseg MobileNetV2 state_dict -> our flax params/batch_stats.
@@ -801,6 +897,9 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_beit_backbone(bb_sd)
         if 'patch_embeds.0.projection.weight' in bb_sd:  # Twins
             return convert_twins_backbone(bb_sd)
+        if 'stage2.0.branches.0.0.conv1.weight' in bb_sd:  # HRNet
+            return convert_hrnet_backbone(bb_sd)           # (before ResNet:
+            # HRNet checkpoints also carry layer1.0.conv1.weight)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:
