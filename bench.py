@@ -24,7 +24,31 @@ import numpy as np
 BASELINE_IMG_PER_SEC_PER_CHIP = 2.2  # 2xA100 DDP reference estimate
 
 
+def _require_devices(timeout_s: float = 180.0):
+    """Fail fast (one parseable JSON line) instead of hanging forever
+    when the tunneled TPU runtime has a stale grant — jax.devices()
+    blocks indefinitely in that state (observed round 4)."""
+    import threading
+    out = {}
+
+    def probe():
+        out['devices'] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if 'devices' not in out:
+        print(json.dumps({
+            'metric': 'images/sec/chip', 'value': None,
+            'unit': 'img/s/chip', 'vs_baseline': None,
+            'error': f'device init timed out after {timeout_s:.0f}s '
+                     '(stale TPU grant / tunnel down)'}))
+        raise SystemExit(2)
+    return out['devices']
+
+
 def main():
+    _require_devices()
     import s4former_tpu.models  # noqa: F401
     from __graft_entry__ import FLAGSHIP
     from s4former_tpu.models import build_segmentor, init_segmentor_variables
