@@ -496,6 +496,60 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_unet_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """mmseg UNet state_dict -> our flax params/batch_stats.
+
+    Reference layout (mmseg/models/backbones/unet.py:362-403):
+      encoder.{i}.{k}.convs.{c}.{conv,bn}.* — k is 1 when the stage's
+      Sequential starts with a (param-less, index-consuming) MaxPool2d;
+      decoder.{j}.upsample.interp_upsample.1.{conv,bn}.* (InterpConv,
+      conv after the upsample) or decoder.{j}.upsample.{conv,bn}.* (the
+      no-upsample 1x1 ConvModule); decoder.{j}.conv_block.convs.{c}.*.
+    Ours: enc_{i}.conv{c}, dec_{i}_up, dec_{i}_conv.conv{c} with
+    decoder j == stage i-1 (models/backbones/unet.py round-4 rebuild)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def convbn(prefix):
+        w = sd[prefix + '.conv.weight']
+        pp = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+              'bn': {'scale': sd[prefix + '.bn.weight'],
+                     'bias': sd[prefix + '.bn.bias']}}
+        bb = {'bn': {'mean': sd[prefix + '.bn.running_mean'],
+                     'var': sd[prefix + '.bn.running_var']}}
+        return pp, bb
+
+    def convblock(prefix):
+        blk_p: Dict[str, Any] = {}
+        blk_b: Dict[str, Any] = {}
+        c = 0
+        while f'{prefix}.convs.{c}.conv.weight' in sd:
+            blk_p[f'conv{c}'], blk_b[f'conv{c}'] = convbn(
+                f'{prefix}.convs.{c}')
+            c += 1
+        return blk_p, blk_b
+
+    i = 0
+    while True:
+        k = 0 if f'encoder.{i}.0.convs.0.conv.weight' in sd else \
+            (1 if f'encoder.{i}.1.convs.0.conv.weight' in sd else None)
+        if k is None:
+            break
+        p[f'enc_{i}'], bs[f'enc_{i}'] = convblock(f'encoder.{i}.{k}')
+        i += 1
+    j = 0
+    while f'decoder.{j}.conv_block.convs.0.conv.weight' in sd:
+        si = j + 1   # decoder[j] upsamples INTO encoder stage j (= i-1)
+        up = f'decoder.{j}.upsample.interp_upsample.1' \
+            if f'decoder.{j}.upsample.interp_upsample.1.conv.weight' in sd \
+            else f'decoder.{j}.upsample'
+        p[f'dec_{si}_up'], bs[f'dec_{si}_up'] = convbn(up)
+        p[f'dec_{si}_conv'], bs[f'dec_{si}_conv'] = convblock(
+            f'decoder.{j}.conv_block')
+        j += 1
+    return p, bs
+
+
 def convert_hrnet_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """mmseg HRNet state_dict -> our flax params/batch_stats.
 
@@ -897,6 +951,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_beit_backbone(bb_sd)
         if 'patch_embeds.0.projection.weight' in bb_sd:  # Twins
             return convert_twins_backbone(bb_sd)
+        if 'encoder.0.0.convs.0.conv.weight' in bb_sd:     # UNet
+            return convert_unet_backbone(bb_sd)
         if 'stage2.0.branches.0.0.conv1.weight' in bb_sd:  # HRNet
             return convert_hrnet_backbone(bb_sd)           # (before ResNet:
             # HRNet checkpoints also carry layer1.0.conv1.weight)

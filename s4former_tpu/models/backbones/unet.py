@@ -1,11 +1,23 @@
-"""UNet backbone (flax/NHWC).
+"""UNet backbone (flax/NHWC) — exact reference topology.
 
-Rebuild of the reference zoo member (reference:
-mmseg/models/backbones/unet.py:438 — unused by S4Former configs). Classic
-encoder-decoder with skip connections; returns the decoder feature pyramid
-(deepest first is index 0 to match mmseg's out ordering: the reference
-returns enc outputs + final dec levels; here we return each decoder level,
-coarse to fine, plus the bottleneck).
+Rebuild of the reference zoo member
+(reference: mmseg/models/backbones/unet.py:16-438 +
+models/utils/up_conv_block.py:9-103 — unused by S4Former's own configs):
+
+- encoder stage i: optional MaxPool2d(2) (strides[i]==1 and
+  downsamples[i-1]) then ``BasicConvBlock`` — num_convs 3x3 ConvModules
+  where conv 0 carries the stride and dilation 1 and the REST carry the
+  stage dilation (ref :66-77);
+- decoder i: ``UpConvBlock`` — InterpConv upsample (bilinear x2
+  align_corners=False followed by a 1x1 conv+BN+ReLU; ref :196-222) when
+  the matching encoder stage downsampled, otherwise a plain 1x1
+  ConvModule; concat [skip, upsampled] then a BasicConvBlock;
+- forward returns [bottleneck, dec_{n-1}, ..., dec_1] — coarse to fine
+  (ref :405-415).
+
+Round-4 note: replaced the earlier compact (non-ingestable) rebuild so
+mmseg UNet checkpoints load via ``convert_unet_backbone``; the flax
+param tree changed accordingly.
 """
 from __future__ import annotations
 
@@ -21,17 +33,42 @@ from s4former_tpu.registry import BACKBONES
 Array = jax.Array
 
 
-class DoubleConv(nn.Module):
+class ConvModule(nn.Module):
+    """conv + BN + optional ReLU (mmcv ConvModule with BN: bias-free)."""
     out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False, relu=True):
+        x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=self.padding, kernel_dilation=self.dilation,
+                    use_bias=False, name='conv')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='bn', dtype=jnp.float32)(x)
+        return nn.relu(x) if relu else x
+
+
+class BasicConvBlock(nn.Module):
+    """num_convs 3x3 convs; conv 0: stride + dilation 1; rest: dilation
+    (reference unet.py:66-77)."""
+    out_channels: int
+    num_convs: int = 2
+    stride: int = 1
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train=False):
-        for i in range(2):
-            x = nn.Conv(self.out_channels, (3, 3), padding=1,
-                        use_bias=False, name=f'conv{i}')(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f'bn{i}', dtype=jnp.float32)(x)
-            x = nn.relu(x)
+        for c in range(self.num_convs):
+            first = c == 0
+            x = ConvModule(self.out_channels, 3,
+                           self.stride if first else 1,
+                           1 if first else self.dilation,
+                           padding=1 if first else self.dilation,
+                           name=f'conv{c}')(x, train)
         return x
 
 
@@ -44,8 +81,15 @@ class UNet(nn.Module):
     enc_num_convs: Sequence[int] = (2, 2, 2, 2, 2)
     dec_num_convs: Sequence[int] = (2, 2, 2, 2)
     downsamples: Sequence[bool] = (True, True, True, True)
+    enc_dilations: Sequence[int] = (1, 1, 1, 1, 1)
+    dec_dilations: Sequence[int] = (1, 1, 1, 1)
+    # accepted-and-ignored parity knobs
+    upsample_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
+    conv_cfg: Optional[dict] = None
+    norm_eval: bool = False
+    with_cp: bool = False
     init_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
 
@@ -53,25 +97,31 @@ class UNet(nn.Module):
     def __call__(self, x: Array, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
-        # encoder
-        skips = []
-        ch = self.base_channels
-        for s in range(self.num_stages):
-            if s > 0 and self.downsamples[s - 1]:
+        base = self.base_channels
+        enc_outs = []
+        for i in range(self.num_stages):
+            if i > 0 and self.strides[i] == 1 and self.downsamples[i - 1]:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = DoubleConv(ch, name=f'enc_{s}')(x, train)
-            skips.append(x)
-            if s < self.num_stages - 1:
-                ch *= 2
-        # decoder
-        outs = [skips[-1]]
-        y = skips[-1]
-        for s in range(self.num_stages - 2, -1, -1):
-            ch //= 2
-            y = resize_bilinear(y, skips[s].shape[1:3], False)
-            y = jnp.concatenate([skips[s], y], axis=-1)
-            y = DoubleConv(ch, name=f'dec_{s}')(y, train)
-            outs.append(y)
+            x = BasicConvBlock(base * 2 ** i, self.enc_num_convs[i],
+                               self.strides[i], self.enc_dilations[i],
+                               name=f'enc_{i}')(x, train)
+            enc_outs.append(x)
+        dec_outs = [x]
+        for i in range(self.num_stages - 1, 0, -1):
+            skip = enc_outs[i - 1]
+            upsample = self.strides[i] != 1 or self.downsamples[i - 1]
+            if upsample:
+                # InterpConv, conv_first=False: bilinear x2 (AC=False)
+                # then 1x1 conv+BN+ReLU to the skip's channel count
+                x = resize_bilinear(x, skip.shape[1:3], False)
+            x = ConvModule(base * 2 ** (i - 1), 1, padding=0,
+                           name=f'dec_{i}_up')(x, train)
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = BasicConvBlock(base * 2 ** (i - 1),
+                               self.dec_num_convs[i - 1], 1,
+                               self.dec_dilations[i - 1],
+                               name=f'dec_{i}_conv')(x, train)
+            dec_outs.append(x)
         if return_attn:
-            return tuple(outs), ([], None)
-        return tuple(outs)
+            return tuple(dec_outs), ([], None)
+        return tuple(dec_outs)
