@@ -43,14 +43,11 @@ class GroupBottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
         y = ConvBN(width, 1, 1, name='conv1')(x, train)
-        pad = self.dilation
-        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding=pad, kernel_dilation=self.dilation,
-                    feature_group_count=self.groups, use_bias=False,
-                    name='conv2')(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn2')(y)
-        y = nn.relu(y)
+        # grouped 3x3 as a ConvBN so the block's param tree matches the
+        # ResNet converter layout (conv{1..3}.{conv,bn} + downsample) —
+        # mmseg ResNeXt checkpoints share ResNet's state_dict key shape
+        y = ConvBN(width, 3, self.stride, self.dilation,
+                   groups=self.groups, name='conv2')(y, train)
         y = ConvBN(self.planes * 4, 1, 1, name='conv3')(y, train,
                                                         relu=False)
         if self.downsample:
@@ -136,8 +133,14 @@ class _ResNetLike(nn.Module):
         planes = self.base_channels
         for i in range(self.num_stages):
             for j in range(stage_blocks[i]):
+                d = self.dilations[i]
+                if j == 0 and d > 1 and self.contract_dilation:
+                    # first block of a dilated stage halves its dilation
+                    # (ref resnet.py res_layer semantics, same as our
+                    # ResNet walker)
+                    d //= 2
                 x = self._block(planes, self.strides[i] if j == 0 else 1,
-                                self.dilations[i], j == 0,
+                                d, j == 0,
                                 f'layer{i + 1}_{j}')(x, train)
             planes *= 2
             if i in self.out_indices:

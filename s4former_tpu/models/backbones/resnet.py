@@ -33,6 +33,7 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train=False, relu=True):
@@ -40,6 +41,7 @@ class ConvBN(nn.Module):
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
                     kernel_dilation=self.dilation, use_bias=False,
+                    feature_group_count=self.groups,
                     name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='bn', dtype=jnp.float32)(x)
