@@ -886,6 +886,72 @@ def convert_uper_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def _sepconvmodule(sd, key):
+    """mmcv DepthwiseSeparableConvModule -> zoo_heads.SepConvBNReLU
+    subtrees (depthwise/dw_bn + pointwise/pw_bn; both convs bias-free)."""
+    dw = sd[key + '.depthwise_conv.conv.weight']   # [C, 1, k, k]
+    pw = sd[key + '.pointwise_conv.conv.weight']   # [Cout, C, 1, 1]
+    p = {'depthwise': {'kernel': np.transpose(dw, (2, 3, 1, 0))},
+         'dw_bn': {'scale': sd[key + '.depthwise_conv.bn.weight'],
+                   'bias': sd[key + '.depthwise_conv.bn.bias']},
+         'pointwise': {'kernel': np.transpose(pw, (2, 3, 1, 0))},
+         'pw_bn': {'scale': sd[key + '.pointwise_conv.bn.weight'],
+                   'bias': sd[key + '.pointwise_conv.bn.bias']}}
+    bs = {'dw_bn': {'mean': sd[key + '.depthwise_conv.bn.running_mean'],
+                    'var': sd[key + '.depthwise_conv.bn.running_var']},
+          'pw_bn': {'mean': sd[key + '.pointwise_conv.bn.running_mean'],
+                    'var': sd[key + '.pointwise_conv.bn.running_var']}}
+    return p, bs
+
+
+def _conv_seg(sd, prefix, p):
+    if prefix + 'conv_seg.weight' in sd:
+        w = sd[prefix + 'conv_seg.weight']
+        p['conv_seg'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                         'bias': sd[prefix + 'conv_seg.bias']}
+
+
+def convert_aspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                      ) -> Tuple[Dict, Dict]:
+    """mmseg ASPPHead / DepthwiseSeparableASPPHead state_dict -> our
+    zoo_heads layout.
+
+    Reference (aspp_head.py:54-121, sep_aspp_head.py:30-109): image_pool
+    is ``nn.Sequential(AdaptiveAvgPool2d(1), ConvModule)`` so its conv
+    lives at ``image_pool.1``; ``aspp_modules.{i}`` is a plain ConvModule
+    for dilation==1 and (DS variant) a DepthwiseSeparableConvModule for
+    dilation>1; DeepLabV3+ adds ``c1_bottleneck`` and the two-stage
+    ``sep_bottleneck.{0,1}``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    if prefix + 'image_pool.1.conv.weight' in sd:
+        p['image_pool'], bs['image_pool'] = _convmodule(
+            sd, prefix + 'image_pool.1')
+    i = 0
+    while True:
+        key = prefix + f'aspp_modules.{i}'
+        if key + '.conv.weight' in sd:
+            p[f'aspp_{i}'], bs[f'aspp_{i}'] = _convmodule(sd, key)
+        elif key + '.depthwise_conv.conv.weight' in sd:
+            p[f'aspp_{i}'], bs[f'aspp_{i}'] = _sepconvmodule(sd, key)
+        else:
+            break
+        i += 1
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['bottleneck'], bs['bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    if prefix + 'c1_bottleneck.conv.weight' in sd:
+        p['c1_bottleneck'], bs['c1_bottleneck'] = _convmodule(
+            sd, prefix + 'c1_bottleneck')
+    for j in (0, 1):
+        key = prefix + f'sep_bottleneck.{j}'
+        if key + '.depthwise_conv.conv.weight' in sd:
+            p[f'sep_fuse_{j}'], bs[f'sep_fuse_{j}'] = _sepconvmodule(
+                sd, key)
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg SETRUPHead state_dict -> (params, batch_stats) subtrees."""
@@ -980,6 +1046,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_uper_head(hd)
         if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead
             return convert_psp_head(hd)
+        if 'aspp_modules.0.conv.weight' in hd:   # ASPP / DS-ASPP
+            return convert_aspp_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)

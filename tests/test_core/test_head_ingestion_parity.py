@@ -17,7 +17,8 @@ import torch
 import torch.nn.functional as F
 
 import s4former_tpu.models  # noqa: F401
-from s4former_tpu.core.checkpoint import (convert_fcn_head,
+from s4former_tpu.core.checkpoint import (convert_aspp_head,
+                                          convert_fcn_head,
                                           convert_psp_head,
                                           convert_uper_head,
                                           merge_pretrained)
@@ -195,4 +196,114 @@ def test_uper_head_ingestion_parity():
                       num_classes=NCLS, pool_scales=scales,
                       in_index=(0, 1, 2), dropout_ratio=0),
                  convert_uper_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TorchSepConvModule(torch.nn.Module):
+    """mmcv DepthwiseSeparableConvModule: depthwise ConvModule then
+    pointwise ConvModule (each conv-no-bias + BN + ReLU)."""
+
+    def __init__(self, cin, cout, k=3, dilation=1):
+        super().__init__()
+        self.depthwise_conv = TorchConvModule(cin, cin, k, dilation)
+        self.depthwise_conv.conv.groups = cin
+        # re-create the conv with groups (Conv2d groups is fixed at init)
+        self.depthwise_conv.conv = torch.nn.Conv2d(
+            cin, cin, k, padding=dilation * (k - 1) // 2,
+            dilation=dilation, groups=cin, bias=False)
+        self.pointwise_conv = TorchConvModule(cin, cout, 1)
+
+    def forward(self, x):
+        return self.pointwise_conv(self.depthwise_conv(x))
+
+    def dump(self, sd, key):
+        self.depthwise_conv.dump(sd, key + '.depthwise_conv')
+        self.pointwise_conv.dump(sd, key + '.pointwise_conv')
+
+
+def _torch_aspp_outs(x, image_pool, branches, align=False):
+    pooled = image_pool(F.adaptive_avg_pool2d(x, 1))
+    outs = [F.interpolate(pooled, size=x.shape[2:], mode='bilinear',
+                          align_corners=align)]
+    outs.extend(m(x) for m in branches)
+    return torch.cat(outs, 1)
+
+
+def test_aspp_head_ingestion_parity():
+    torch.manual_seed(3)
+    cin, dilations = 12, (1, 2, 3)
+    image_pool = TorchConvModule(cin, CH, 1)
+    branches = torch.nn.ModuleList(
+        TorchConvModule(cin, CH, 1 if d == 1 else 3, d)
+        for d in dilations)
+    bottleneck = TorchConvModule((len(dilations) + 1) * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    image_pool.dump(sd, 'image_pool.1')
+    for i, m in enumerate(branches):
+        m.dump(sd, f'aspp_modules.{i}')
+    bottleneck.dump(sd, 'bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (image_pool, *branches, bottleneck, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(3)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        y = bottleneck(_torch_aspp_outs(x, image_pool, branches))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='ASPPHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, dilations=dilations, in_index=0,
+                      dropout_ratio=0),
+                 convert_aspp_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sep_aspp_head_ingestion_parity():
+    """DeepLabV3+ head (sep_aspp_head.py:30-109): DS aspp branches for
+    dilation>1, c1 low-level fusion, two-stage sep_bottleneck."""
+    torch.manual_seed(4)
+    cin, c1_in, c1_ch, dilations = 12, 6, 4, (1, 2, 3)
+    image_pool = TorchConvModule(cin, CH, 1)
+    branches = torch.nn.ModuleList(
+        TorchConvModule(cin, CH, 1) if d == 1 else
+        TorchSepConvModule(cin, CH, 3, d) for d in dilations)
+    bottleneck = TorchConvModule((len(dilations) + 1) * CH, CH, 3)
+    c1_bottleneck = TorchConvModule(c1_in, c1_ch, 1)
+    sep0 = TorchSepConvModule(CH + c1_ch, CH, 3)
+    sep1 = TorchSepConvModule(CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    image_pool.dump(sd, 'image_pool.1')
+    for i, m in enumerate(branches):
+        m.dump(sd, f'aspp_modules.{i}')
+    bottleneck.dump(sd, 'bottleneck')
+    c1_bottleneck.dump(sd, 'c1_bottleneck')
+    sep0.dump(sd, 'sep_bottleneck.0')
+    sep1.dump(sd, 'sep_bottleneck.1')
+    _seg(sd, conv_seg)
+
+    for m in (image_pool, *branches, bottleneck, c1_bottleneck, sep0,
+              sep1, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(4)
+    c1_feat = rng.randn(2, 20, 20, c1_in).astype(np.float32)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        c1x = torch.from_numpy(c1_feat).permute(0, 3, 1, 2)
+        y = bottleneck(_torch_aspp_outs(x, image_pool, branches))
+        c1 = c1_bottleneck(c1x)
+        y = F.interpolate(y, size=c1.shape[2:], mode='bilinear',
+                          align_corners=False)
+        y = sep1(sep0(torch.cat([y, c1], 1)))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='DepthwiseSeparableASPPHead', in_channels=cin,
+                      channels=CH, num_classes=NCLS, dilations=dilations,
+                      c1_in_channels=c1_in, c1_channels=c1_ch,
+                      in_index=-1, dropout_ratio=0),
+                 convert_aspp_head, _np_sd(sd), [c1_feat, feat])
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
