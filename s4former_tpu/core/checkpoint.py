@@ -952,6 +952,34 @@ def convert_aspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_ocr_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg OCRHead (ocr_head.py:85-130) -> misc_heads.OCRHead.
+
+    Layout: ``bottleneck`` ConvModule; ``object_context_block`` with
+    2-conv ``query_project``/``key_project`` Sequentials, single-module
+    ``value_project``/``out_project`` (no ``.0`` index — mmseg's
+    build_project returns the bare ConvModule for num_convs=1), and its
+    own fusion ``bottleneck``; ``conv_seg``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['bottleneck'], bs['bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    ocb = prefix + 'object_context_block.'
+    for ref, ours in (('query_project.0', 'ocb_query_0'),
+                      ('query_project.1', 'ocb_query_1'),
+                      ('key_project.0', 'ocb_key_0'),
+                      ('key_project.1', 'ocb_key_1'),
+                      ('value_project', 'ocb_value'),
+                      ('out_project', 'ocb_out'),
+                      ('bottleneck', 'ocb_bottleneck')):
+        if ocb + ref + '.conv.weight' in sd:
+            p[ours], bs[ours] = _convmodule(sd, ocb + ref)
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg SETRUPHead state_dict -> (params, batch_stats) subtrees."""
@@ -1048,15 +1076,30 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_psp_head(hd)
         if 'aspp_modules.0.conv.weight' in hd:   # ASPP / DS-ASPP
             return convert_aspp_head(hd)
+        if 'object_context_block.bottleneck.conv.weight' in hd:  # OCR
+            return convert_ocr_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)
 
-    dh = sub('decode_head.')
-    if dh:
-        p, b = convert_head(dh)
-        params['decode_head_m'] = p
-        batch_stats['decode_head_m'] = b
+    if any(k.startswith('decode_head.0.') for k in sd):
+        # CascadeEncoderDecoder checkpoint: decode_head.{i}. stage heads
+        # map onto our cascade_heads_{i} modules
+        i = 0
+        while True:
+            dh = sub(f'decode_head.{i}.')
+            if not dh:
+                break
+            p, b = convert_head(dh)
+            params[f'cascade_heads_{i}'] = p
+            batch_stats[f'cascade_heads_{i}'] = b
+            i += 1
+    else:
+        dh = sub('decode_head.')
+        if dh:
+            p, b = convert_head(dh)
+            params['decode_head_m'] = p
+            batch_stats['decode_head_m'] = b
     aux_p, aux_b = [], []
     for i in range(num_aux):
         ah = sub(f'auxiliary_head.{i}.')

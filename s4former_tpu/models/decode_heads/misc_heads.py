@@ -271,23 +271,39 @@ class OCRHead(nn.Module):
         if prev_logits.shape[1:3] != (h, w):
             prev_logits = resize_bilinear(prev_logits, (h, w),
                                           self.align_corners)
-        # soft object regions: [B, K, HW]
+        # SpatialGatherModule (ref ocr_head.py:13-37): soft object regions
+        # = softmax over the SPATIAL dim of each class map, then a
+        # probs @ pixels contraction -> per-class context [B, K, C]
         probs = jax.nn.softmax(
-            prev_logits.reshape(b, h * w, -1).transpose(0, 2, 1), axis=-1)
+            self.scale * prev_logits.reshape(b, h * w, -1), axis=1)
         pixels = x.reshape(b, h * w, c)
-        # per-class context vectors [B, K, C]
-        context = jnp.einsum('bkp,bpc->bkc', probs, pixels)
-        # pixel-region attention
-        query = nn.Dense(self.ocr_channels, name='query')(pixels)
-        key = nn.Dense(self.ocr_channels, name='key')(context)
-        value = nn.Dense(self.ocr_channels, name='value')(context)
-        sim = jnp.einsum('bpc,bkc->bpk', query, key) / \
-            jnp.sqrt(float(self.ocr_channels))
+        context = jnp.einsum('bpk,bpc->bkc', probs, pixels)
+        # ObjectAttentionBlock (ref ocr_head.py:40-82 on
+        # utils/self_attention_block.py): 2-conv query/key projections,
+        # 1-conv value/out projections — every projection a 1x1
+        # ConvModule (conv-no-bias + BN + ReLU); context vectors are a
+        # [B, K, 1, C] "image" so BN statistics pool over (B, K) exactly
+        # like BatchNorm2d on the reference's [B, C, K, 1] layout
+        ctx_img = context[:, :, None, :]
+        q = x
+        for i in range(2):
+            q = ConvBNReLU(self.ocr_channels, 1,
+                           name=f'ocb_query_{i}')(q, train)
+        k = ctx_img
+        for i in range(2):
+            k = ConvBNReLU(self.ocr_channels, 1,
+                           name=f'ocb_key_{i}')(k, train)
+        v = ConvBNReLU(self.ocr_channels, 1, name='ocb_value')(
+            ctx_img, train)
+        sim = jnp.einsum('bhwc,bkc->bhwk', q, k[:, :, 0, :]) \
+            * float(self.ocr_channels) ** -0.5
         attn = jax.nn.softmax(sim, axis=-1)
-        ocr = jnp.einsum('bpk,bkc->bpc', attn, value)
-        ocr = nn.Dense(self.channels, name='proj')(ocr)
-        y = jnp.concatenate([pixels, ocr], axis=-1).reshape(b, h, w, -1)
-        y = ConvBNReLU(self.channels, 1, name='fuse')(y, train)
+        ocr = jnp.einsum('bhwk,bkc->bhwc', attn, v[:, :, 0, :])
+        ocr = ConvBNReLU(self.channels, 1, name='ocb_out')(ocr, train)
+        # ref ObjectAttentionBlock.bottleneck: cat([context, query]) —
+        # context FIRST
+        y = ConvBNReLU(self.channels, 1, name='ocb_bottleneck')(
+            jnp.concatenate([ocr, x], axis=-1), train)
         feat = y
         if self.dropout_ratio > 0:
             y = nn.Dropout(self.dropout_ratio)(y, deterministic=not train)

@@ -79,7 +79,16 @@ def _head_loss_fns(model) -> Tuple[Callable, list]:
                                      {'type': 'CrossEntropyLoss'}))
         return LOSSES.build(loss_cfg)
 
-    main = build(model.decode_head)
+    head_cfg = model.decode_head
+    cascade_list = []
+    if isinstance(head_cfg, (list, tuple)):
+        # CascadeEncoderDecoder: the LAST stage is the main head; earlier
+        # stages train like aux heads (forward_train_heads returns their
+        # logits ahead of the real aux logits, ref
+        # cascade_encoder_decoder.py _decode_head_forward_train)
+        cascade_list = [build(h) for h in head_cfg[:-1]]
+        head_cfg = head_cfg[-1]
+    main = build(head_cfg)
     aux_cfgs = model.auxiliary_head
     if aux_cfgs is None:
         aux_list = []
@@ -87,7 +96,7 @@ def _head_loss_fns(model) -> Tuple[Callable, list]:
         if hasattr(aux_cfgs, 'keys'):
             aux_cfgs = [aux_cfgs]
         aux_list = [build(a) for a in aux_cfgs]
-    return main, aux_list
+    return main, cascade_list + aux_list
 
 
 def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):

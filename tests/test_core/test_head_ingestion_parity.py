@@ -19,6 +19,7 @@ import torch.nn.functional as F
 import s4former_tpu.models  # noqa: F401
 from s4former_tpu.core.checkpoint import (convert_aspp_head,
                                           convert_fcn_head,
+                                          convert_ocr_head,
                                           convert_psp_head,
                                           convert_uper_head,
                                           merge_pretrained)
@@ -197,6 +198,113 @@ def test_uper_head_ingestion_parity():
                       in_index=(0, 1, 2), dropout_ratio=0),
                  convert_uper_head, _np_sd(sd), feats)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TorchOCRHead(torch.nn.Module):
+    """mmseg OCRHead oracle (ocr_head.py:85-130 + SpatialGatherModule +
+    ObjectAttentionBlock on utils/self_attention_block.py)."""
+
+    def __init__(self, cin, ch, ocr, ncls, scale=1):
+        super().__init__()
+        self.scale, self.ocr = scale, ocr
+        self.bottleneck = TorchConvModule(cin, ch, 3)
+        self.query_project = torch.nn.ModuleList(
+            [TorchConvModule(ch, ocr, 1), TorchConvModule(ocr, ocr, 1)])
+        self.key_project = torch.nn.ModuleList(
+            [TorchConvModule(ch, ocr, 1), TorchConvModule(ocr, ocr, 1)])
+        self.value_project = TorchConvModule(ch, ocr, 1)
+        self.out_project = TorchConvModule(ocr, ch, 1)
+        self.ocb_bottleneck = TorchConvModule(2 * ch, ch, 1)
+        self.conv_seg = torch.nn.Conv2d(ch, ncls, 1)
+
+    def forward(self, x, prev):
+        x = self.bottleneck(x)
+        b, c, h, w = x.shape
+        k = prev.shape[1]
+        probs = F.softmax(self.scale * prev.reshape(b, k, -1), dim=2)
+        ctx = torch.matmul(probs, x.reshape(b, c, -1).permute(0, 2, 1))
+        ctx = ctx.permute(0, 2, 1).reshape(b, c, k, 1)
+        q = x
+        for m in self.query_project:
+            q = m(q)
+        kk = ctx
+        for m in self.key_project:
+            kk = m(kk)
+        v = self.value_project(ctx)
+        q = q.reshape(b, self.ocr, -1).permute(0, 2, 1)
+        kk = kk.reshape(b, self.ocr, -1)
+        v = v.reshape(b, self.ocr, -1).permute(0, 2, 1)
+        sim = F.softmax(self.ocr ** -0.5 * torch.matmul(q, kk), dim=-1)
+        o = torch.matmul(sim, v).permute(0, 2, 1).reshape(
+            b, self.ocr, h, w)
+        o = self.out_project(o)
+        y = self.ocb_bottleneck(torch.cat([o, x], 1))
+        return self.conv_seg(y)
+
+    def dump(self, sd, prefix=''):
+        self.bottleneck.dump(sd, prefix + 'bottleneck')
+        for i, m in enumerate(self.query_project):
+            m.dump(sd, prefix + f'object_context_block.query_project.{i}')
+        for i, m in enumerate(self.key_project):
+            m.dump(sd, prefix + f'object_context_block.key_project.{i}')
+        self.value_project.dump(
+            sd, prefix + 'object_context_block.value_project')
+        self.out_project.dump(
+            sd, prefix + 'object_context_block.out_project')
+        self.ocb_bottleneck.dump(
+            sd, prefix + 'object_context_block.bottleneck')
+        _seg(sd, self.conv_seg, prefix + 'conv_seg')
+
+
+def test_ocr_head_ingestion_parity():
+    torch.manual_seed(5)
+    cin, ocr = 12, 4
+    oracle = TorchOCRHead(cin, CH, ocr, NCLS).eval()
+    sd = {}
+    oracle.dump(sd)
+
+    rng = np.random.RandomState(5)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    prev = rng.randn(2, 10, 10, NCLS).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(feat).permute(0, 3, 1, 2),
+                     torch.from_numpy(prev).permute(0, 3, 1, 2))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+    head = build_head(dict(type='OCRHead', in_channels=cin, channels=CH,
+                           ocr_channels=ocr, num_classes=NCLS, in_index=0,
+                           dropout_ratio=0))
+    inputs = [jnp.asarray(feat), jnp.asarray(prev)]
+    variables = head.init(jax.random.PRNGKey(0), inputs, train=False)
+    p, bs = convert_ocr_head(_np_sd(sd))
+    variables = merge_pretrained(variables,
+                                 {'params': p, 'batch_stats': bs},
+                                 strict=True)
+    got = np.asarray(head.apply(variables, inputs, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_checkpoint_dispatch():
+    """convert_mmseg_checkpoint maps decode_head.{i}. (cascade) onto
+    cascade_heads_{i} with per-layout head detection."""
+    from s4former_tpu.core.checkpoint import convert_mmseg_checkpoint
+    torch.manual_seed(6)
+    cin, ocr = 12, 4
+    sd = {}
+    fcn = TorchConvModule(cin, CH, 3)
+    fcn.dump(sd, 'decode_head.0.convs.0')
+    fseg = torch.nn.Conv2d(CH, NCLS, 1)
+    _seg(sd, fseg, 'decode_head.0.conv_seg')
+    TorchOCRHead(cin, CH, ocr, NCLS).dump(sd, 'decode_head.1.')
+    out = convert_mmseg_checkpoint(_np_sd(sd))
+    assert set(out['params']) == {'cascade_heads_0', 'cascade_heads_1'}
+    assert 'convs_0' in out['params']['cascade_heads_0']
+    assert 'ocb_bottleneck' in out['params']['cascade_heads_1']
+    np.testing.assert_allclose(
+        out['params']['cascade_heads_1']['ocb_value']['conv']['kernel'],
+        np.transpose(sd['decode_head.1.object_context_block.'
+                        'value_project.conv.weight'].detach().numpy(),
+                     (2, 3, 1, 0)))
 
 
 class TorchSepConvModule(torch.nn.Module):
