@@ -952,6 +952,91 @@ def convert_aspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_segmenter_mask_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                                ) -> Tuple[Dict, Dict]:
+    """mmseg SegmenterMaskTransformerHead (segmenter_mask_head.py:85-99)
+    -> extra_heads.SegmenterMaskTransformerHead.
+
+    ``layers.{i}`` are the same mmcv TransformerEncoderLayer blocks as the
+    ViT backbone (ln1/attn.attn.in_proj/out_proj/ln2/ffn.layers), mapped
+    UNSTACKED onto ``layers_{i}`` (the head is a plain loop, not a scan);
+    plus dec_proj/cls_emb/patch_proj/classes_proj/decoder_norm/mask_norm."""
+    p: Dict[str, Any] = {}
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    p['dec_proj'] = {'kernel': g('dec_proj.weight').T,
+                     'bias': g('dec_proj.bias')}
+    p['cls_emb'] = g('cls_emb')
+    p['patch_proj'] = {'kernel': g('patch_proj.weight').T}
+    p['classes_proj'] = {'kernel': g('classes_proj.weight').T}
+    p['decoder_norm'] = {'scale': g('decoder_norm.weight'),
+                         'bias': g('decoder_norm.bias')}
+    p['mask_norm'] = {'scale': g('mask_norm.weight'),
+                      'bias': g('mask_norm.bias')}
+    i = 0
+    while prefix + f'layers.{i}.ln1.weight' in sd:
+        pre = prefix + f'layers.{i}.'
+        blk = {
+            'ln1': {'scale': sd[pre + 'ln1.weight'],
+                    'bias': sd[pre + 'ln1.bias']},
+            'ln2': {'scale': sd[pre + 'ln2.weight'],
+                    'bias': sd[pre + 'ln2.bias']},
+            'attn': {
+                'qkv': {'kernel': sd[pre + 'attn.attn.in_proj_weight'].T},
+                'proj': {
+                    'kernel': sd[pre + 'attn.attn.out_proj.weight'].T,
+                    'bias': sd[pre + 'attn.attn.out_proj.bias']},
+            },
+            'ffn': {
+                'fc1': {'kernel': sd[pre + 'ffn.layers.0.0.weight'].T,
+                        'bias': sd[pre + 'ffn.layers.0.0.bias']},
+                'fc2': {'kernel': sd[pre + 'ffn.layers.1.weight'].T,
+                        'bias': sd[pre + 'ffn.layers.1.bias']},
+            },
+        }
+        if pre + 'attn.attn.in_proj_bias' in sd:
+            blk['attn']['qkv']['bias'] = sd[pre + 'attn.attn.in_proj_bias']
+        p[f'layers_{i}'] = blk
+        i += 1
+    return p, {}
+
+
+def convert_fpn_neck(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg/mmdet FPN neck (necks/fpn.py: biased ConvModules, no norm)
+    -> necks.FPN (``lateral_{i}``/``fpn_{i}``)."""
+    p: Dict[str, Any] = {}
+    for ref, ours in (('lateral_convs', 'lateral'), ('fpn_convs', 'fpn')):
+        i = 0
+        while prefix + f'{ref}.{i}.conv.weight' in sd:
+            w = sd[prefix + f'{ref}.{i}.conv.weight']
+            p[f'{ours}_{i}'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                                'bias': sd[prefix + f'{ref}.{i}.conv.bias']}
+            i += 1
+    return p, {}
+
+
+def convert_fpn_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg FPNHead (fpn_head.py: per-level ``scale_heads.{i}`` —
+    Sequential of ConvModule [+ param-free Upsample] pairs, so ConvModule
+    slots are 0, 2, 4, ...) -> extra_heads.FPNHead
+    (``scale_heads_{i}_{k}``)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'scale_heads.{i}.0.conv.weight' in sd:
+        k = 0
+        for j in range(32):
+            key = prefix + f'scale_heads.{i}.{j}'
+            if key + '.conv.weight' in sd:
+                p[f'scale_heads_{i}_{k}'], bs[f'scale_heads_{i}_{k}'] = \
+                    _convmodule(sd, key)
+                k += 1
+        i += 1
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_ocr_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg OCRHead (ocr_head.py:85-130) -> misc_heads.OCRHead.
@@ -1063,6 +1148,13 @@ def convert_mmseg_checkpoint(path_or_sd,
         if b:
             batch_stats['backbone_m'] = b
 
+    nk = sub('neck.')
+    if 'lateral_convs.0.conv.weight' in nk:      # FPN neck
+        p, b = convert_fpn_neck(nk)
+        params['neck_m'] = p
+        if b:
+            batch_stats['neck_m'] = b
+
     def convert_head(hd):
         # same layout detection for main/aux/EMA head subtrees (a full
         # SegFormer EncoderDecoder checkpoint carries SegformerHead aux/EMA
@@ -1070,6 +1162,10 @@ def convert_mmseg_checkpoint(path_or_sd,
         # empty subtrees that merge_pretrained silently skipped)
         if 'fusion_conv.conv.weight' in hd:      # SegformerHead layout
             return convert_segformer_head(hd)
+        if 'scale_heads.0.0.conv.weight' in hd:  # FPNHead (semantic FPN)
+            return convert_fpn_head(hd)
+        if 'cls_emb' in hd:                      # Segmenter mask head
+            return convert_segmenter_mask_head(hd)
         if 'lateral_convs.0.conv.weight' in hd:  # UPerHead
             return convert_uper_head(hd)
         if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead

@@ -181,7 +181,9 @@ class SegmenterMaskTransformerHead(_HeadBase):
                 drop_path_rate=dpr[i], qkv_bias=self.qkv_bias,
                 use_flash=False, name=f'layers_{i}')(
                     tokens, deterministic=not train)
-        tokens = nn.LayerNorm(name='decoder_norm')(tokens)
+        # mmcv build_norm_layer(dict(type='LN')) -> torch LN default
+        # eps=1e-5 (the head does NOT pass the backbone's 1e-6)
+        tokens = nn.LayerNorm(epsilon=1e-5, name='decoder_norm')(tokens)
         patches = nn.Dense(self.embed_dims, use_bias=False,
                            name='patch_proj')(
                                tokens[:, :-self.num_classes])
@@ -193,7 +195,7 @@ class SegmenterMaskTransformerHead(_HeadBase):
         cls_feat = cls_feat / jnp.maximum(
             jnp.linalg.norm(cls_feat, axis=-1, keepdims=True), 1e-12)
         masks = jnp.einsum('bpd,bkd->bpk', patches, cls_feat)
-        masks = nn.LayerNorm(name='mask_norm')(masks)
+        masks = nn.LayerNorm(epsilon=1e-5, name='mask_norm')(masks)
         logits = masks.reshape(b, h, w, self.num_classes).astype(
             jnp.float32)
         feat = patches.reshape(b, h, w, self.embed_dims)

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from s4former_tpu.ops.resize import resize_bilinear
+from s4former_tpu.ops.resize import resize_bilinear, resize_nearest
 from s4former_tpu.registry import NECKS
 
 Array = jax.Array
@@ -107,10 +107,17 @@ class Feature2Pyramid(nn.Module):
 
 @NECKS.register_module()
 class FPN(nn.Module):
-    """(fpn.py): classic feature pyramid."""
+    """(fpn.py): classic feature pyramid.
+
+    Top-down upsampling defaults to NEAREST like the reference
+    (fpn.py:81 ``upsample_cfg=dict(mode='nearest')``); laterals/fpn convs
+    are ConvModules with norm_cfg=None, i.e. biased convs with no BN/act
+    — matching state_dict keys ``lateral_convs.{i}.conv`` /
+    ``fpn_convs.{i}.conv``."""
     in_channels: Sequence[int] = (256, 512, 1024, 2048)
     out_channels: int = 256
     num_outs: int = 4
+    upsample_mode: str = 'nearest'
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
@@ -118,8 +125,11 @@ class FPN(nn.Module):
                             name=f'lateral_{i}')(x)
                     for i, x in enumerate(inputs)]
         for i in range(len(laterals) - 1, 0, -1):
-            up = resize_bilinear(laterals[i], laterals[i - 1].shape[1:3],
-                                 False)
+            hw = laterals[i - 1].shape[1:3]
+            if self.upsample_mode == 'nearest':
+                up = resize_nearest(laterals[i], hw)
+            else:
+                up = resize_bilinear(laterals[i], hw, False)
             laterals[i - 1] = laterals[i - 1] + up
         outs = [nn.Conv(self.out_channels, (3, 3), padding=1,
                         name=f'fpn_{i}')(laterals[i])

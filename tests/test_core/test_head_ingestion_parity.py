@@ -200,6 +200,114 @@ def test_uper_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+class TorchBiasConv(torch.nn.Module):
+    """ConvModule with norm_cfg=None: biased conv, no BN/act (FPN neck)."""
+
+    def __init__(self, cin, cout, k):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, padding=(k - 1) // 2)
+
+    def forward(self, x):
+        return self.conv(x)
+
+    def dump(self, sd, key):
+        sd[key + '.conv.weight'] = self.conv.weight
+        sd[key + '.conv.bias'] = self.conv.bias
+
+
+def test_fpn_neck_ingestion_parity():
+    """FPN neck (necks/fpn.py): biased convs, NEAREST top-down upsample."""
+    from s4former_tpu.core.checkpoint import convert_fpn_neck
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(7)
+    cins, ch = (6, 8, 12, 16), 8
+    lats = torch.nn.ModuleList(TorchBiasConv(c, ch, 1) for c in cins)
+    fpns = torch.nn.ModuleList(TorchBiasConv(ch, ch, 3) for _ in cins)
+    sd = {}
+    for i, m in enumerate(lats):
+        m.dump(sd, f'lateral_convs.{i}')
+    for i, m in enumerate(fpns):
+        m.dump(sd, f'fpn_convs.{i}')
+
+    rng = np.random.RandomState(7)
+    feats = [rng.randn(2, hw, hw, c).astype(np.float32)
+             for hw, c in zip((40, 20, 10, 5), cins)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        ls = [m(x) for m, x in zip(lats, xs)]
+        for i in range(len(ls) - 1, 0, -1):
+            ls[i - 1] = ls[i - 1] + F.interpolate(
+                ls[i], size=ls[i - 1].shape[2:], mode='nearest')
+        refs = [m(l).permute(0, 2, 3, 1).numpy()
+                for m, l in zip(fpns, ls)]
+
+    neck = NECKS.build(dict(type='FPN', in_channels=cins, out_channels=ch,
+                            num_outs=4))
+    jf = [jnp.asarray(f) for f in feats]
+    variables = neck.init(jax.random.PRNGKey(0), jf)
+    p, bs = convert_fpn_neck(_np_sd(sd))
+    variables = merge_pretrained(variables, {'params': p}, strict=True)
+    outs = neck.apply(variables, jf)
+    for got, ref in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fpn_head_ingestion_parity():
+    """FPNHead (fpn_head.py): scale_heads Sequentials with param-free
+    Upsample slots between ConvModules."""
+    from s4former_tpu.core.checkpoint import convert_fpn_head
+    torch.manual_seed(8)
+    ch, strides = 8, (4, 8, 16, 32)
+    cins = (8, 8, 8, 8)
+    heads = []
+    sd = {}
+    for i, s in enumerate(strides):
+        length = max(1, int(np.log2(s) - np.log2(strides[0])))
+        mods = torch.nn.ModuleList(
+            TorchConvModule(cins[i] if k == 0 else ch, ch, 3)
+            for k in range(length))
+        heads.append(mods)
+        # Sequential slot index: conv at 0,2,4,... when upsample follows
+        step = 2 if s != strides[0] else 1
+        for k, m in enumerate(mods):
+            m.dump(sd, f'scale_heads.{i}.{k * step}')
+    conv_seg = torch.nn.Conv2d(ch, NCLS, 1)
+    _seg(sd, conv_seg)
+
+    for mods in heads:
+        for m in mods:
+            m.eval()
+    conv_seg.eval()
+    rng = np.random.RandomState(8)
+    feats = [rng.randn(2, hw, hw, c).astype(np.float32)
+             for hw, c in zip((32, 16, 8, 4), cins)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        out = None
+        for i, s in enumerate(strides):
+            y = xs[i]
+            for m in heads[i]:
+                y = m(y)
+                if s != strides[0]:
+                    y = F.interpolate(y, scale_factor=2, mode='bilinear',
+                                      align_corners=False)
+            if out is None:
+                out = y
+            else:
+                if y.shape[2:] != out.shape[2:]:
+                    y = F.interpolate(y, size=out.shape[2:],
+                                      mode='bilinear', align_corners=False)
+                out = out + y
+        ref = conv_seg(out).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='FPNHead', in_channels=cins, channels=ch,
+                      num_classes=NCLS, feature_strides=strides,
+                      in_index=(0, 1, 2, 3), dropout_ratio=0),
+                 convert_fpn_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 class TorchOCRHead(torch.nn.Module):
     """mmseg OCRHead oracle (ocr_head.py:85-130 + SpatialGatherModule +
     ObjectAttentionBlock on utils/self_attention_block.py)."""
@@ -305,6 +413,84 @@ def test_cascade_checkpoint_dispatch():
         np.transpose(sd['decode_head.1.object_context_block.'
                         'value_project.conv.weight'].detach().numpy(),
                      (2, 3, 1, 0)))
+
+
+class TorchEncLayer(torch.nn.Module):
+    """mmcv TransformerEncoderLayer (vit.py:67-127): pre-LN + MHA + FFN."""
+
+    def __init__(self, c, heads, eps=1e-5):
+        super().__init__()
+        self.ln1 = torch.nn.LayerNorm(c, eps=eps)
+        self.attn = torch.nn.MultiheadAttention(c, heads, batch_first=True)
+        self.ln2 = torch.nn.LayerNorm(c, eps=eps)
+        self.fc1 = torch.nn.Linear(c, 4 * c)
+        self.fc2 = torch.nn.Linear(4 * c, c)
+
+    def forward(self, x):
+        y = self.ln1(x)
+        y, _ = self.attn(y, y, y, need_weights=False)
+        x = x + y
+        z = self.ln2(x)
+        return x + self.fc2(F.gelu(self.fc1(z)))
+
+    def dump(self, sd, pre):
+        for n, m in (('ln1', self.ln1), ('ln2', self.ln2)):
+            sd[pre + n + '.weight'] = m.weight
+            sd[pre + n + '.bias'] = m.bias
+        sd[pre + 'attn.attn.in_proj_weight'] = self.attn.in_proj_weight
+        sd[pre + 'attn.attn.in_proj_bias'] = self.attn.in_proj_bias
+        sd[pre + 'attn.attn.out_proj.weight'] = self.attn.out_proj.weight
+        sd[pre + 'attn.attn.out_proj.bias'] = self.attn.out_proj.bias
+        sd[pre + 'ffn.layers.0.0.weight'] = self.fc1.weight
+        sd[pre + 'ffn.layers.0.0.bias'] = self.fc1.bias
+        sd[pre + 'ffn.layers.1.weight'] = self.fc2.weight
+        sd[pre + 'ffn.layers.1.bias'] = self.fc2.bias
+
+
+def test_segmenter_mask_head_ingestion_parity():
+    """SegmenterMaskTransformerHead (segmenter_mask_head.py:85-131)."""
+    from s4former_tpu.core.checkpoint import convert_segmenter_mask_head
+    torch.manual_seed(9)
+    cin, dim, heads = 12, 16, 2
+    dec_proj = torch.nn.Linear(cin, dim)
+    cls_emb = torch.randn(1, NCLS, dim)
+    layers = torch.nn.ModuleList(TorchEncLayer(dim, heads)
+                                 for _ in range(2))
+    patch_proj = torch.nn.Linear(dim, dim, bias=False)
+    classes_proj = torch.nn.Linear(dim, dim, bias=False)
+    decoder_norm = torch.nn.LayerNorm(dim)
+    mask_norm = torch.nn.LayerNorm(NCLS)
+    sd = {'dec_proj.weight': dec_proj.weight,
+          'dec_proj.bias': dec_proj.bias,
+          'cls_emb': cls_emb,
+          'patch_proj.weight': patch_proj.weight,
+          'classes_proj.weight': classes_proj.weight,
+          'decoder_norm.weight': decoder_norm.weight,
+          'decoder_norm.bias': decoder_norm.bias,
+          'mask_norm.weight': mask_norm.weight,
+          'mask_norm.bias': mask_norm.bias}
+    for i, m in enumerate(layers):
+        m.dump(sd, f'layers.{i}.')
+
+    rng = np.random.RandomState(9)
+    feat = rng.randn(2, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).reshape(2, 64, cin)
+        x = dec_proj(x)
+        x = torch.cat([x, cls_emb.expand(2, -1, -1)], 1)
+        for m in layers:
+            x = m(x)
+        x = decoder_norm(x)
+        patches = F.normalize(patch_proj(x[:, :-NCLS]), dim=2, p=2)
+        cls_feat = F.normalize(classes_proj(x[:, -NCLS:]), dim=2, p=2)
+        masks = mask_norm(patches @ cls_feat.transpose(1, 2))
+        ref = masks.reshape(2, 8, 8, NCLS).numpy()
+
+    got = _apply(dict(type='SegmenterMaskTransformerHead', in_channels=cin,
+                      num_layers=2, num_heads=heads, embed_dims=dim,
+                      num_classes=NCLS, in_index=0, dropout_ratio=0),
+                 convert_segmenter_mask_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 class TorchSepConvModule(torch.nn.Module):
