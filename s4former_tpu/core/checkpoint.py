@@ -952,6 +952,24 @@ def convert_aspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_cc_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg CCHead (cc_head.py: FCNHead(num_convs=2) + mmcv
+    CrissCrossAttention between the convs) -> extra_heads.CCHead.
+
+    mmcv cc_attention.py layout: ``cca.{query,key,value}_conv`` (biased
+    1x1 Conv2d) + ``cca.gamma.scale`` (mmcv Scale wrapper, scalar)."""
+    p, bs = convert_fcn_head(sd, prefix)
+    cca: Dict[str, Any] = {}
+    for name in ('query', 'key', 'value'):
+        w = sd[prefix + f'cca.{name}_conv.weight']
+        cca[name] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                     'bias': sd[prefix + f'cca.{name}_conv.bias']}
+    cca['gamma'] = np.asarray(sd[prefix + 'cca.gamma.scale']).reshape(())
+    p['cca'] = cca
+    return p, bs
+
+
 def convert_segmenter_mask_head(sd: Dict[str, np.ndarray], prefix: str = ''
                                 ) -> Tuple[Dict, Dict]:
     """mmseg SegmenterMaskTransformerHead (segmenter_mask_head.py:85-99)
@@ -1174,6 +1192,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_aspp_head(hd)
         if 'object_context_block.bottleneck.conv.weight' in hd:  # OCR
             return convert_ocr_head(hd)
+        if 'cca.query_conv.weight' in hd:        # CCHead (before FCN)
+            return convert_cc_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)

@@ -86,10 +86,12 @@ class CrissCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # mmcv cc_attention.py: plain nn.Conv2d projections, i.e. WITH
+        # bias (the CUDA op's torch fallback keeps the default)
         cq = max(self.channels // 8, 1)
-        q = nn.Conv(cq, (1, 1), use_bias=False, name='query')(x)
-        k = nn.Conv(cq, (1, 1), use_bias=False, name='key')(x)
-        v = nn.Conv(self.channels, (1, 1), use_bias=False, name='value')(x)
+        q = nn.Conv(cq, (1, 1), name='query')(x)
+        k = nn.Conv(cq, (1, 1), name='key')(x)
+        v = nn.Conv(self.channels, (1, 1), name='value')(x)
         h = x.shape[1]
         # column attention [B,H,W,H'] with -inf self term; row [B,H,W,W']
         energy_h = jnp.einsum('bhwc,bHwc->bhwH', q, k)

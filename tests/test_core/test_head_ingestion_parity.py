@@ -415,6 +415,77 @@ def test_cascade_checkpoint_dispatch():
                      (2, 3, 1, 0)))
 
 
+class TorchCCA(torch.nn.Module):
+    """mmcv ops/cc_attention.py torch implementation (biased 1x1 convs,
+    Scale(0.) gamma, -inf diagonal on the column energies)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.query_conv = torch.nn.Conv2d(c, c // 8, 1)
+        self.key_conv = torch.nn.Conv2d(c, c // 8, 1)
+        self.value_conv = torch.nn.Conv2d(c, c, 1)
+        self.gamma = torch.nn.Parameter(torch.tensor(0.7))
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        q = self.query_conv(x)
+        k = self.key_conv(x)
+        v = self.value_conv(x)
+        energy_h = torch.einsum('bchw,bciw->bwhi', q, k) + \
+            torch.diag(torch.full((h,), float('-inf')))
+        energy_h = energy_h.transpose(1, 2)            # [B,H,W,H]
+        energy_w = torch.einsum('bchw,bchj->bhwj', q, k)
+        attn = F.softmax(torch.cat([energy_h, energy_w], dim=-1), dim=-1)
+        out = torch.einsum('bciw,bhwi->bchw', v, attn[..., :h])
+        out = out + torch.einsum('bchj,bhwj->bchw', v, attn[..., h:])
+        return self.gamma * out + x
+
+    def dump(self, sd, pre):
+        for name, m in (('query', self.query_conv), ('key', self.key_conv),
+                        ('value', self.value_conv)):
+            sd[pre + f'{name}_conv.weight'] = m.weight
+            sd[pre + f'{name}_conv.bias'] = m.bias
+        sd[pre + 'gamma.scale'] = self.gamma
+
+
+def test_cc_head_ingestion_parity():
+    """CCHead (cc_head.py): FCN convs with recurrence=2 criss-cross
+    attention between them."""
+    from s4former_tpu.core.checkpoint import convert_cc_head
+    torch.manual_seed(10)
+    cin, ch = 12, 8
+    convs = torch.nn.ModuleList([TorchConvModule(cin, ch, 3),
+                                 TorchConvModule(ch, ch, 3)])
+    cca = TorchCCA(ch)
+    conv_cat = TorchConvModule(cin + ch, ch, 3)
+    conv_seg = torch.nn.Conv2d(ch, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'convs.{i}')
+    cca.dump(sd, 'cca.')
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (*convs, cca, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(10)
+    feat = rng.randn(2, 9, 7, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        y = convs[0](x)
+        for _ in range(2):
+            y = cca(y)
+        y = convs[1](y)
+        y = conv_cat(torch.cat([x, y], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='CCHead', in_channels=cin, channels=ch,
+                      num_classes=NCLS, recurrence=2, concat_input=True,
+                      in_index=0, dropout_ratio=0),
+                 convert_cc_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 class TorchEncLayer(torch.nn.Module):
     """mmcv TransformerEncoderLayer (vit.py:67-127): pre-LN + MHA + FFN."""
 
