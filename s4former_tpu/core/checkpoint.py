@@ -952,6 +952,80 @@ def convert_aspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_bisenetv2_backbone(sd: Dict[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """mmseg BiSeNetV2 state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.BiSeNetV2 layout.
+
+    Reference layout (bisenetv2.py): ``detail.detail_branch.{i}.{j}``
+    ConvModules; ``semantic.stage1`` StemBlock (conv_first/convs.{0,1}/
+    fuse_last); ``semantic.stage{s}.{j}`` GELayers (conv1, dwconv.{0,1},
+    conv2.0, shortcut.0.{depthwise,pointwise}_conv); ``semantic.
+    stage4_CEBlock`` (gap.1 BN, conv_gap, conv_last); ``bga`` (detail_
+    dwconv/semantic_dwconv DW-separable with BIASED no-norm pointwise,
+    detail_down, semantic_conv, conv)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def cm(ref_key, our_key):
+        if ref_key + '.conv.weight' in sd:
+            p[our_key], bs[our_key] = _convmodule(sd, ref_key)
+            return True
+        return False
+
+    i = 0
+    while cm(f'detail.detail_branch.{i}.0', f'detail_{i}_0'):
+        j = 1
+        while cm(f'detail.detail_branch.{i}.{j}', f'detail_{i}_{j}'):
+            j += 1
+        i += 1
+    cm('semantic.stage1.conv_first', 'stem_first')
+    cm('semantic.stage1.convs.0', 'stem_convs_0')
+    cm('semantic.stage1.convs.1', 'stem_convs_1')
+    cm('semantic.stage1.fuse_last', 'stem_fuse')
+    s = 2
+    while f'semantic.stage{s}.0.conv1.conv.weight' in sd:
+        j = 0
+        while f'semantic.stage{s}.{j}.conv1.conv.weight' in sd:
+            ge: Dict[str, Any] = {}
+            gbs: Dict[str, Any] = {}
+            pre = f'semantic.stage{s}.{j}.'
+            for ref, ours in (('conv1', 'conv1'),
+                              ('dwconv.0', 'dwconv_0'),
+                              ('dwconv.1', 'dwconv_1'),
+                              ('conv2.0', 'conv2'),
+                              ('shortcut.0.depthwise_conv', 'short_dw'),
+                              ('shortcut.0.pointwise_conv', 'short_pw')):
+                if pre + ref + '.conv.weight' in sd:
+                    ge[ours], gbs[ours] = _convmodule(sd, pre + ref)
+            p[f'stage{s}_{j}'] = ge
+            bs[f'stage{s}_{j}'] = gbs
+            j += 1
+        s += 1
+    ce = f'semantic.stage{s - 1}_CEBlock'
+    if ce + '.gap.1.weight' in sd:
+        p['ce_gap_bn'] = {'scale': sd[ce + '.gap.1.weight'],
+                          'bias': sd[ce + '.gap.1.bias']}
+        bs['ce_gap_bn'] = {'mean': sd[ce + '.gap.1.running_mean'],
+                           'var': sd[ce + '.gap.1.running_var']}
+    cm(ce + '.conv_gap', 'ce_conv_gap')
+    cm(ce + '.conv_last', 'ce_conv_last')
+    cm('bga.detail_dwconv.0.depthwise_conv', 'bga_detail_dw')
+    cm('bga.detail_down.0', 'bga_detail_down')
+    cm('bga.semantic_conv.0', 'bga_semantic_conv')
+    cm('bga.semantic_dwconv.0.depthwise_conv', 'bga_semantic_dw')
+    cm('bga.conv', 'bga_conv')
+    for ref, ours in (('bga.detail_dwconv.0.pointwise_conv',
+                       'bga_detail_pw'),
+                      ('bga.semantic_dwconv.0.pointwise_conv',
+                       'bga_semantic_pw')):
+        if ref + '.conv.weight' in sd:
+            w = sd[ref + '.conv.weight']
+            p[ours] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                       'bias': sd[ref + '.conv.bias']}
+    return p, bs
+
+
 def convert_cc_head(sd: Dict[str, np.ndarray], prefix: str = ''
                     ) -> Tuple[Dict, Dict]:
     """mmseg CCHead (cc_head.py: FCNHead(num_convs=2) + mmcv
@@ -1153,6 +1227,8 @@ def convert_mmseg_checkpoint(path_or_sd,
         if 'stage2.0.branches.0.0.conv1.weight' in bb_sd:  # HRNet
             return convert_hrnet_backbone(bb_sd)           # (before ResNet:
             # HRNet checkpoints also carry layer1.0.conv1.weight)
+        if 'detail.detail_branch.0.0.conv.weight' in bb_sd:  # BiSeNetV2
+            return convert_bisenetv2_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:

@@ -258,8 +258,14 @@ class BiSeNetV1(nn.Module):
 
 # ------------------------------------------------------------- BiSeNetV2
 class GatherExpansion(nn.Module):
-    """GE block (bisenetv2.py): expand depthwise + project, optional
-    stride-2 with depthwise shortcut."""
+    """GELayer (ref bisenetv2.py:179-300), exact structure:
+
+    stride 1: conv1 (3x3 ConvModule, keeps cin) -> dwconv.0 (3x3 grouped
+    cin->cin*exp, groups=cin, BN+ReLU) -> conv2 (1x1, BN only) +
+    identity, ReLU.
+    stride 2: conv1 -> dwconv.0 (grouped s2, BN NO act) -> dwconv.1
+    (depthwise mid, BN+ReLU) -> conv2; shortcut = DW-separable (dw 3x3
+    s2 + BN, pw 1x1 + BN, no acts); ReLU after the add."""
     channels: int
     stride: int = 1
     expand: int = 6
@@ -267,21 +273,17 @@ class GatherExpansion(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         cin = x.shape[-1]
-        e = cin * self.expand
-        y = ConvBN(e, 3, 1, name='conv1')(x, train)
-        y = nn.Conv(e, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, feature_group_count=e, use_bias=False,
-                    name='dw')(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='dw_bn')(y)
-        y = ConvBN(self.channels, 1, 1, name='proj')(y, train, relu=False)
-        if self.stride == 2 or cin != self.channels:
-            sc = nn.Conv(cin, (3, 3), strides=(self.stride, self.stride),
-                         padding=1, feature_group_count=cin, use_bias=False,
-                         name='short_dw')(x)
-            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              epsilon=1e-5, name='short_bn')(sc)
-            sc = ConvBN(self.channels, 1, 1, name='short_proj')(
+        mid = cin * self.expand
+        y = ConvBN(cin, 3, 1, name='conv1')(x, train)
+        y = ConvBN(mid, 3, self.stride, groups=cin,
+                   name='dwconv_0')(y, train, relu=self.stride == 1)
+        if self.stride == 2:
+            y = ConvBN(mid, 3, 1, groups=mid, name='dwconv_1')(y, train)
+        y = ConvBN(self.channels, 1, 1, name='conv2')(y, train, relu=False)
+        if self.stride == 2:
+            sc = ConvBN(cin, 3, 2, groups=cin, name='short_dw')(
+                x, train, relu=False)
+            sc = ConvBN(self.channels, 1, 1, name='short_pw')(
                 sc, train, relu=False)
         else:
             sc = x
@@ -302,56 +304,70 @@ class BiSeNetV2(nn.Module):
     norm_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
+    align_corners: bool = False
+
     @nn.compact
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
-        # detail branch: stride 2 per stage -> 1/8
+        # detail branch (ref :33-99): stage 0 = 2 ConvModules, stages
+        # 1..N = 3 (stride-2 first conv each stage) -> 1/8
         d = x
         for i, c in enumerate(self.detail_channels):
-            d = ConvBN(c, 3, 2, name=f'detail_{i}_a')(d, train)
-            d = ConvBN(c, 3, 1, name=f'detail_{i}_b')(d, train)
-        # semantic branch
+            n_convs = 2 if i == 0 else 3
+            for j in range(n_convs):
+                d = ConvBN(c, 3, 2 if j == 0 else 1,
+                           name=f'detail_{i}_{j}')(d, train)
+        # semantic branch stage1 = StemBlock (ref :102-176)
         sc = self.semantic_channels
-        s = ConvBN(sc[0], 3, 2, name='stem')(x, train)          # 1/2
-        left = ConvBN(sc[0] // 2, 1, 1, name='stem_l1')(s, train)
-        left = ConvBN(sc[0], 3, 2, name='stem_l2')(left, train)
+        s = ConvBN(sc[0], 3, 2, name='stem_first')(x, train)    # 1/2
+        left = ConvBN(sc[0] // 2, 1, 1, name='stem_convs_0')(s, train)
+        left = ConvBN(sc[0], 3, 2, name='stem_convs_1')(left, train)
         right = nn.max_pool(s, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)))
         s = ConvBN(sc[0], 3, 1, name='stem_fuse')(
             jnp.concatenate([left, right], -1), train)          # 1/4
         sem_outs = [s]
+        # stages 2..N: 2 GE layers each; the LAST stage has 4 (ref
+        # :396-416)
+        exp = self.semantic_expansion_ratio
         for i, c in enumerate(sc[1:]):
-            s = GatherExpansion(c, 2, self.semantic_expansion_ratio,
-                                name=f'ge_{i}_down')(s, train)
-            s = GatherExpansion(c, 1, self.semantic_expansion_ratio,
-                                name=f'ge_{i}_keep')(s, train)
+            si = i + 2
+            last = i == len(sc) - 2
+            s = GatherExpansion(c, 2, exp, name=f'stage{si}_0')(s, train)
+            for j in range(1, 4 if last else 2):
+                s = GatherExpansion(c, 1, exp,
+                                    name=f'stage{si}_{j}')(s, train)
             sem_outs.append(s)
-        # context embedding
+        # CEBlock (ref :302-361): GAP -> BN -> 1x1 ConvModule, residual
+        # add, 3x3 ConvModule
         gap = jnp.mean(s, axis=(1, 2), keepdims=True)
         gap = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name='ce_bn')(gap)
-        gap = ConvBN(sc[-1], 1, 1, name='ce_conv')(gap, train)
+                           epsilon=1e-5, name='ce_gap_bn')(gap)
+        gap = ConvBN(sc[-1], 1, 1, name='ce_conv_gap')(gap, train)
         s = s + gap
-        s = ConvBN(sc[-1], 3, 1, name='ce_out')(s, train)
-        # bilateral guided aggregation (detail 1/8, semantic 1/32)
-        db = nn.Conv(self.bga_channels, (3, 3), padding=1,
-                     feature_group_count=1, use_bias=False,
-                     name='bga_d_proj')(d)
-        da = nn.avg_pool(ConvBN(self.bga_channels, 3, 2,
-                                name='bga_d_down')(d, train),
-                         (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        sb = ConvBN(self.bga_channels, 3, 1, name='bga_s_proj')(s, train)
-        su = resize_bilinear(
-            nn.sigmoid(ConvBN(self.bga_channels, 3, 1,
-                              name='bga_s_gate')(s, train)),
-            d.shape[1:3], False)
-        fuse_d = db * su
-        fuse_s = da * nn.sigmoid(sb)
-        fuse_s = resize_bilinear(fuse_s, d.shape[1:3], False)
-        bga = ConvBN(self.bga_channels, 3, 1, name='bga_out')(
-            fuse_d + fuse_s, train)
-        outs = tuple([bga] + sem_outs)
+        s = ConvBN(sc[-1], 3, 1, name='ce_conv_last')(s, train)
+        sem_outs.append(s)
+        # BGALayer (ref :433-543); detail at 1/8, semantic at 1/32
+        ch = self.bga_channels
+        dd = ConvBN(ch, 3, 1, groups=d.shape[-1],
+                    name='bga_detail_dw')(d, train, relu=False)
+        dd = nn.Conv(ch, (1, 1), name='bga_detail_pw')(dd)  # biased, no BN
+        da = ConvBN(ch, 3, 2, name='bga_detail_down')(d, train, relu=False)
+        da = nn.avg_pool(da, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)))
+        sb = ConvBN(ch, 3, 1, name='bga_semantic_conv')(
+            s, train, relu=False)
+        sd = ConvBN(ch, 3, 1, groups=s.shape[-1],
+                    name='bga_semantic_dw')(s, train, relu=False)
+        sd = nn.Conv(ch, (1, 1), name='bga_semantic_pw')(sd)
+        sb = resize_bilinear(sb, dd.shape[1:3], self.align_corners)
+        fuse_1 = dd * nn.sigmoid(sb)
+        fuse_2 = da * nn.sigmoid(sd)
+        fuse_2 = resize_bilinear(fuse_2, fuse_1.shape[1:3],
+                                 self.align_corners)
+        bga = ConvBN(ch, 3, 1, name='bga_conv')(fuse_1 + fuse_2, train)
+        outs = tuple([bga] + sem_outs[:-1])
         outs = tuple(outs[i] for i in self.out_indices)
         if return_attn:
             return outs, ([], None)

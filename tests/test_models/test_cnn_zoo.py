@@ -45,8 +45,10 @@ def test_bisenetv1():
 
 
 def test_bisenetv2():
+    # ref BGA invariant: semantic[-1] == detail[-1] == bga_channels
+    # (bisenetv2.py:454-521 projects both branches from out_channels)
     outs = _run(dict(type='BiSeNetV2', detail_channels=(8, 8, 16),
-                     semantic_channels=(4, 8, 16, 32), bga_channels=16))
+                     semantic_channels=(4, 8, 16, 16), bga_channels=16))
     assert outs[0].shape[1:3] == (8, 8)      # BGA at 1/8
     assert len(outs) == 5                    # + 4 semantic aux taps
 
