@@ -496,6 +496,68 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_resnest_backbone(sd: Dict[str, np.ndarray]
+                             ) -> Tuple[Dict, Dict]:
+    """mmseg ResNeSt (V1d) state_dict -> our cnn_zoo.ResNeSt layout.
+
+    Reference layout (resnest.py:148-268): deep stem like V1c
+    (stem.{0,3,6} convs + stem.{1,4,7} BNs); per block
+    ``conv2`` is a SplitAttentionConv2d module (conv2.conv + conv2.bn0 +
+    conv2.fc{1,2} biased 1x1s + conv2.bn1); there is NO bn2 and the
+    avg_down downsample conv sits at ``downsample.1`` with its BN at
+    ``downsample.2`` (index 0 is the param-free AvgPool)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def convbn(conv_key, bn_key):
+        w = sd[conv_key]
+        pp = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))},
+              'bn': {'scale': sd[bn_key + '.weight'],
+                     'bias': sd[bn_key + '.bias']}}
+        bb = {'bn': {'mean': sd[bn_key + '.running_mean'],
+                     'var': sd[bn_key + '.running_var']}}
+        return pp, bb
+
+    def bn(bn_key):
+        return ({'scale': sd[bn_key + '.weight'],
+                 'bias': sd[bn_key + '.bias']},
+                {'mean': sd[bn_key + '.running_mean'],
+                 'var': sd[bn_key + '.running_var']})
+
+    for n, (ck, bk) in enumerate(
+            [('stem.0', 'stem.1'), ('stem.3', 'stem.4'),
+             ('stem.6', 'stem.7')], start=1):
+        p[f'stem{n}'], bs[f'stem{n}'] = convbn(ck + '.weight', bk)
+
+    s = 1
+    while f'layer{s}.0.conv1.weight' in sd:
+        j = 0
+        while f'layer{s}.{j}.conv1.weight' in sd:
+            pre = f'layer{s}.{j}.'
+            blk_p: Dict[str, Any] = {}
+            blk_b: Dict[str, Any] = {}
+            blk_p['conv1'], blk_b['conv1'] = convbn(pre + 'conv1.weight',
+                                                    pre + 'bn1')
+            blk_p['conv2'] = {'kernel': np.transpose(
+                sd[pre + 'conv2.conv.weight'], (2, 3, 1, 0))}
+            blk_p['bn0'], blk_b['bn0'] = bn(pre + 'conv2.bn0')
+            blk_p['bn1'], blk_b['bn1'] = bn(pre + 'conv2.bn1')
+            for fc in ('fc1', 'fc2'):
+                w = sd[pre + f'conv2.{fc}.weight']
+                blk_p[fc] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                             'bias': sd[pre + f'conv2.{fc}.bias']}
+            blk_p['conv3'], blk_b['conv3'] = convbn(pre + 'conv3.weight',
+                                                    pre + 'bn3')
+            if pre + 'downsample.1.weight' in sd:
+                blk_p['downsample'], blk_b['downsample'] = convbn(
+                    pre + 'downsample.1.weight', pre + 'downsample.2')
+            p[f'layer{s}_{j}'] = blk_p
+            bs[f'layer{s}_{j}'] = blk_b
+            j += 1
+        s += 1
+    return p, bs
+
+
 def convert_unet_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """mmseg UNet state_dict -> our flax params/batch_stats.
 
@@ -1231,6 +1293,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_bisenetv2_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
+        if 'layer1.0.conv2.conv.weight' in bb_sd:        # ResNeSt SplAt
+            return convert_resnest_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:
             return convert_resnet_backbone(bb_sd)
         return convert_vit_backbone(bb_sd, num_layers, dst_grid)

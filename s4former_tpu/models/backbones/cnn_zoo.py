@@ -57,44 +57,77 @@ class GroupBottleneck(nn.Module):
 
 
 class SplitAttentionBlock(nn.Module):
-    """ResNeSt bottleneck (resnest.py): radix-way split attention on the
-    3x3 conv."""
+    """ResNeSt bottleneck, exact reference structure (resnest.py:148-268
+    + SplitAttentionConv2d :39-145 + mmcv ResLayer avg_down):
+
+    conv1 (1x1) -> SplAt conv2 (3x3 grouped by groups*radix, stride 1
+    when ``avg_down_stride``) -> radix-softmax channel attention ->
+    avd AvgPool(3, stride) -> conv3 (1x1, BN only); the V1d downsample
+    is AvgPool(stride) + 1x1 stride-1 conv + BN."""
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
     radix: int = 2
     reduction_factor: int = 4
+    groups: int = 1
+    base_width: int = 4
+    base_channels: int = 64
+    avg_down_stride: bool = True
 
     @nn.compact
     def __call__(self, x, train=False):
         identity = x
-        r = self.radix
-        y = ConvBN(self.planes, 1, 1, name='conv1')(x, train)
-        # SplAtConv2d: conv to planes*radix, split, softmax-attend
+        r, g = self.radix, self.groups
+        width = self.planes if g == 1 else \
+            int(self.planes * (self.base_width / self.base_channels)) * g
+        y = ConvBN(width, 1, 1, name='conv1')(x, train)
+        avd = self.avg_down_stride and self.stride > 1
+        s2 = 1 if avd else self.stride
         pad = self.dilation
-        y = nn.Conv(self.planes * r, (3, 3),
-                    strides=(self.stride, self.stride), padding=pad,
-                    kernel_dilation=self.dilation, use_bias=False,
-                    name='conv2')(y)
+        y = nn.Conv(width * r, (3, 3), strides=(s2, s2), padding=pad,
+                    kernel_dilation=self.dilation, feature_group_count=g * r,
+                    use_bias=False, name='conv2')(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn2')(y)
+                         epsilon=1e-5, name='bn0')(y)
         y = nn.relu(y)
         b, h, w, _ = y.shape
-        splits = y.reshape(b, h, w, r, self.planes)
-        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))   # [B, planes]
-        inter = max(self.planes * r // self.reduction_factor, 32)
+        # radix-major channel split (ref :125-127 view(b, radix, -1, H, W))
+        splits = y.reshape(b, h, w, r, width)
+        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2),
+                       keepdims=True)                  # [B, 1, 1, width]
+        inter = max(width * r // self.reduction_factor, 32)
+        a = nn.Conv(inter, (1, 1), feature_group_count=g,
+                    name='fc1')(gap)
         a = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, name='fc_bn')(
-            nn.Dense(inter, name='fc1')(gap)))
-        a = nn.Dense(self.planes * r, name='fc2')(a)
-        a = jax.nn.softmax(a.reshape(b, r, self.planes), axis=1)
-        y = jnp.sum(splits * a[:, None, None], axis=3)
+                                 momentum=0.9, epsilon=1e-5,
+                                 name='bn1')(a))
+        a = nn.Conv(width * r, (1, 1), feature_group_count=g,
+                    name='fc2')(a)                     # [B, 1, 1, width*r]
+        if r > 1:
+            # RSoftmax (ref :29-36): (b, groups, radix, -1) -> transpose
+            # -> softmax over radix -> flatten radix-major
+            cg = width // g
+            a = a.reshape(b, g, r, cg).transpose(0, 2, 1, 3)
+            a = jax.nn.softmax(a, axis=1).reshape(b, r, width)
+            y = jnp.sum(splits * a[:, None, None], axis=3)
+        else:
+            y = y * nn.sigmoid(a)
+        if avd:
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride, self.stride),
+                            padding=((1, 1), (1, 1)))
         y = ConvBN(self.planes * 4, 1, 1, name='conv3')(y, train,
                                                         relu=False)
         if self.downsample:
-            identity = ConvBN(self.planes * 4, 1, self.stride,
-                              name='downsample')(x, train, relu=False)
+            # ResNetV1d avg_down (mmcv res_layer.py): AvgPool(stride) +
+            # stride-1 1x1 ConvBN
+            if self.stride > 1:
+                identity = nn.avg_pool(
+                    identity, (self.stride, self.stride),
+                    strides=(self.stride, self.stride))
+            identity = ConvBN(self.planes * 4, 1, 1,
+                              name='downsample')(identity, train,
+                                                 relu=False)
         return nn.relu(y + identity)
 
 
@@ -163,14 +196,21 @@ class ResNeXt(_ResNetLike):
 
 @BACKBONES.register_module()
 class ResNeSt(_ResNetLike):
-    """(resnest.py): split-attention ResNet."""
+    """(resnest.py): split-attention ResNet. Always a ResNetV1d in the
+    reference — deep stem + avg_down downsamples."""
     radix: int = 2
     reduction_factor: int = 4
+    groups: int = 1
+    base_width: int = 4
+    avg_down_stride: bool = True
+    deep_stem: bool = True
 
     def _block(self, planes, stride, dilation, downsample, name):
         return SplitAttentionBlock(planes, stride, dilation, downsample,
                                    self.radix, self.reduction_factor,
-                                   name=name)
+                                   self.groups, self.base_width,
+                                   self.base_channels,
+                                   self.avg_down_stride, name=name)
 
 
 # ------------------------------------------------------------- BiSeNetV1
