@@ -1154,6 +1154,46 @@ def convert_segmenter_mask_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, {}
 
 
+def convert_mla_neck(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg MLANeck (mla_neck.py: norm.{i} token LNs +
+    mla.channel_proj.{i} / mla.feat_extract.{i} biased no-norm
+    ConvModules) -> necks.MLANeck."""
+    p: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'norm.{i}.weight' in sd:
+        p[f'norm_{i}'] = {'scale': sd[prefix + f'norm.{i}.weight'],
+                          'bias': sd[prefix + f'norm.{i}.bias']}
+        i += 1
+    for ref, ours in (('mla.channel_proj', 'proj'),
+                      ('mla.feat_extract', 'feat')):
+        i = 0
+        while prefix + f'{ref}.{i}.conv.weight' in sd:
+            w = sd[prefix + f'{ref}.{i}.conv.weight']
+            p[f'{ours}_{i}'] = {
+                'kernel': np.transpose(w, (2, 3, 1, 0)),
+                'bias': sd[prefix + f'{ref}.{i}.conv.bias']}
+            i += 1
+    return p, {}
+
+
+def convert_setr_mla_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                          ) -> Tuple[Dict, Dict]:
+    """mmseg SETRMLAHead (setr_mla_head.py: per-level Sequential of TWO
+    3x3 ConvModules + param-free Upsample) -> misc_heads.SETRMLAHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'up_convs.{i}.0.conv.weight' in sd:
+        p[f'up_conv_{i}_a'], bs[f'up_conv_{i}_a'] = _convmodule(
+            sd, prefix + f'up_convs.{i}.0')
+        p[f'up_conv_{i}_b'], bs[f'up_conv_{i}_b'] = _convmodule(
+            sd, prefix + f'up_convs.{i}.1')
+        i += 1
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_fpn_neck(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg/mmdet FPN neck (necks/fpn.py: biased ConvModules, no norm)
@@ -1312,6 +1352,9 @@ def convert_mmseg_checkpoint(path_or_sd,
         params['neck_m'] = p
         if b:
             batch_stats['neck_m'] = b
+    elif 'mla.channel_proj.0.conv.weight' in nk:  # MLA neck
+        p, b = convert_mla_neck(nk)
+        params['neck_m'] = p
 
     def convert_head(hd):
         # same layout detection for main/aux/EMA head subtrees (a full
@@ -1324,6 +1367,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_fpn_head(hd)
         if 'cls_emb' in hd:                      # Segmenter mask head
             return convert_segmenter_mask_head(hd)
+        if 'up_convs.0.1.conv.weight' in hd:     # SETR-MLA (before PUP:
+            return convert_setr_mla_head(hd)     # PUP has one conv/level)
         if 'lateral_convs.0.conv.weight' in hd:  # UPerHead
             return convert_uper_head(hd)
         if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead

@@ -37,30 +37,36 @@ class ConvReLU(nn.Module):
 
 @NECKS.register_module()
 class MLANeck(nn.Module):
-    """(mla_neck.py): per-level 1x1 conv + top-down cumulative aggregation
-    + 3x3 conv, SETR-MLA style."""
+    """(mla_neck.py:8-117), exact structure: per-level token LayerNorm
+    (the ViT final norms moved into the neck, eps 1e-6) -> 1x1
+    channel_proj -> deepest-first cumulative aggregation -> 3x3
+    feat_extract. channel_proj/feat_extract are ConvModules with
+    norm_cfg=None/act_cfg=None, i.e. plain BIASED convs. NOTE the output
+    tuple is deepest-first (mid_list order [m5, m4, m3, m2] — the
+    reference's o2..o5 comment describes intent, not the code)."""
     in_channels: Sequence[int] = (1024, 1024, 1024, 1024)
     out_channels: int = 256
+    norm_layer: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
         n = len(inputs)
-        # channel-project each level
-        feats = [ConvReLU(self.out_channels, 1, use_norm=True,
-                          name=f'proj_{i}')(x, train)
-                 for i, x in enumerate(inputs)]
-        # top-down cumulative sum (deepest first)
-        agg = [None] * n
-        acc = feats[-1]
-        agg[-1] = acc
-        for i in range(n - 2, -1, -1):
-            acc = feats[i] + acc
-            agg[i] = acc
-        outs = [ConvReLU(self.out_channels, 3, use_norm=True,
-                         name=f'smooth_{i}')(agg[i], train)
-                for i in range(n)]
+        eps = (self.norm_layer or {}).get('eps', 1e-6)
+        feats = []
+        for i, x in enumerate(inputs):
+            # flax LN over the channel axis == ref's nchw->nlc->LN->nchw
+            x = nn.LayerNorm(epsilon=eps, name=f'norm_{i}')(x)
+            feats.append(nn.Conv(self.out_channels, (1, 1),
+                                 name=f'proj_{i}')(x))
+        rev = feats[::-1]
+        mids = [rev[0]]
+        for f in rev[1:]:
+            mids.append(mids[-1] + f)
+        outs = [nn.Conv(self.out_channels, (3, 3), padding=1,
+                        name=f'feat_{k}')(m)
+                for k, m in enumerate(mids)]
         return tuple(outs)
 
 

@@ -415,6 +415,93 @@ def test_cascade_checkpoint_dispatch():
                      (2, 3, 1, 0)))
 
 
+def test_mla_neck_and_head_ingestion_parity():
+    """SETR-MLA pipeline (mla_neck.py:8-117 + setr_mla_head.py:12-63):
+    token LNs -> biased 1x1 projections -> deepest-first cumulative sums
+    -> biased 3x3 extracts; head = two 3x3 ConvModules + 4x upsample per
+    level, concat, conv_seg."""
+    from s4former_tpu.core.checkpoint import (convert_mla_neck,
+                                              convert_setr_mla_head)
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(11)
+    cin, ch, mla = 12, 8, 4
+    n = 4
+    norms = torch.nn.ModuleList(torch.nn.LayerNorm(cin, eps=1e-6)
+                                for _ in range(n))
+    for m in norms:
+        with torch.no_grad():
+            m.weight.normal_(1, 0.2)
+            m.bias.normal_(0, 0.2)
+    projs = torch.nn.ModuleList(torch.nn.Conv2d(cin, ch, 1)
+                                for _ in range(n))
+    feats_c = torch.nn.ModuleList(torch.nn.Conv2d(ch, ch, 3, padding=1)
+                                  for _ in range(n))
+    ups = torch.nn.ModuleList()
+    for _ in range(n):
+        ups.append(torch.nn.ModuleList([TorchConvModule(ch, mla, 3),
+                                        TorchConvModule(mla, mla, 3)]))
+    conv_seg = torch.nn.Conv2d(n * mla, NCLS, 1)
+
+    sd_neck, sd_head = {}, {}
+    for i in range(n):
+        sd_neck[f'norm.{i}.weight'] = norms[i].weight
+        sd_neck[f'norm.{i}.bias'] = norms[i].bias
+        sd_neck[f'mla.channel_proj.{i}.conv.weight'] = projs[i].weight
+        sd_neck[f'mla.channel_proj.{i}.conv.bias'] = projs[i].bias
+        sd_neck[f'mla.feat_extract.{i}.conv.weight'] = feats_c[i].weight
+        sd_neck[f'mla.feat_extract.{i}.conv.bias'] = feats_c[i].bias
+        ups[i][0].dump(sd_head, f'up_convs.{i}.0')
+        ups[i][1].dump(sd_head, f'up_convs.{i}.1')
+    _seg(sd_head, conv_seg)
+
+    for m in (*norms, *projs, *feats_c, conv_seg):
+        m.eval()
+    for pair in ups:
+        pair[0].eval()
+        pair[1].eval()
+
+    rng = np.random.RandomState(11)
+    xs_np = [rng.randn(2, 8, 8, cin).astype(np.float32)
+             for _ in range(n)]
+    with torch.no_grad():
+        feats = []
+        for i, x in enumerate(xs_np):
+            t = torch.from_numpy(x)                      # NHWC
+            t = norms[i](t).permute(0, 3, 1, 2)          # LN over C
+            feats.append(projs[i](t))
+        rev = feats[::-1]
+        mids = [rev[0]]
+        for f in rev[1:]:
+            mids.append(mids[-1] + f)
+        outs = [feats_c[k](m) for k, m in enumerate(mids)]
+        branches = []
+        for i, o in enumerate(outs):
+            y = ups[i][1](ups[i][0](o))
+            y = F.interpolate(y, scale_factor=4, mode='bilinear',
+                              align_corners=False)
+            branches.append(y)
+        ref = conv_seg(torch.cat(branches, 1)).permute(0, 2, 3, 1).numpy()
+
+    neck = NECKS.build(dict(type='MLANeck', in_channels=[cin] * n,
+                            out_channels=ch))
+    jf = [jnp.asarray(x) for x in xs_np]
+    nv = neck.init(jax.random.PRNGKey(0), jf)
+    np_, _ = convert_mla_neck(_np_sd(sd_neck))
+    nv = merge_pretrained(nv, {'params': np_}, strict=True)
+    neck_outs = neck.apply(nv, jf)
+
+    head = build_head(dict(type='SETRMLAHead', in_channels=[ch] * n,
+                           channels=n * mla, mla_channels=mla,
+                           num_classes=NCLS, up_scale=4,
+                           in_index=(0, 1, 2, 3), dropout_ratio=0))
+    hv = head.init(jax.random.PRNGKey(0), list(neck_outs), train=False)
+    hp, hb = convert_setr_mla_head(_np_sd(sd_head))
+    hv = merge_pretrained(hv, {'params': hp, 'batch_stats': hb},
+                          strict=True)
+    got = np.asarray(head.apply(hv, list(neck_outs), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 class TorchCCA(torch.nn.Module):
     """mmcv ops/cc_attention.py torch implementation (biased 1x1 convs,
     Scale(0.) gamma, -inf diagonal on the column energies)."""
