@@ -1088,6 +1088,60 @@ def convert_bisenetv2_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_bisenetv1_backbone(sd: Dict[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """mmseg BiSeNetV1 state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.BiSeNetV1 layout.
+
+    Reference layout (bisenetv1.py): ``spatial_path.layer{1..4}``
+    ConvModules; ``context_path.backbone.*`` (inner ResNet — reuses
+    convert_resnet_backbone); ARMs at ``context_path.arm{16,32}``
+    (conv_layer + atten_conv_layer.1 bias-free conv+BN);
+    ``context_path.conv_head{16,32}``, ``context_path.gap_conv.1``;
+    ``ffm.conv1`` + ``ffm.conv_atten.0``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    inner = {k[len('context_path.backbone.'):]: v for k, v in sd.items()
+             if k.startswith('context_path.backbone.')}
+    if inner:
+        p['context_backbone'], bs['context_backbone'] = \
+            convert_resnet_backbone(inner)
+    for i in range(4):
+        key = f'spatial_path.layer{i + 1}'
+        if key + '.conv.weight' in sd:
+            p[f'spatial_{i}'], bs[f'spatial_{i}'] = _convmodule(sd, key)
+    for arm in ('arm16', 'arm32'):
+        pre = f'context_path.{arm}.'
+        if pre + 'conv_layer.conv.weight' not in sd:
+            continue
+        ap: Dict[str, Any] = {}
+        ab: Dict[str, Any] = {}
+        ap['conv'], ab['conv'] = _convmodule(sd, pre + 'conv_layer')
+        w = sd[pre + 'atten_conv_layer.1.conv.weight']
+        ap['gate_conv'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        ap['gate_bn'] = {'scale': sd[pre + 'atten_conv_layer.1.bn.weight'],
+                         'bias': sd[pre + 'atten_conv_layer.1.bn.bias']}
+        ab['gate_bn'] = {
+            'mean': sd[pre + 'atten_conv_layer.1.bn.running_mean'],
+            'var': sd[pre + 'atten_conv_layer.1.bn.running_var']}
+        p[arm] = ap
+        bs[arm] = ab
+    for ref, ours in (('context_path.conv_head32', 'refine32'),
+                      ('context_path.conv_head16', 'refine16'),
+                      ('context_path.gap_conv.1', 'gap_conv')):
+        if ref + '.conv.weight' in sd:
+            p[ours], bs[ours] = _convmodule(sd, ref)
+    if 'ffm.conv1.conv.weight' in sd:
+        fp: Dict[str, Any] = {}
+        fb: Dict[str, Any] = {}
+        fp['conv'], fb['conv'] = _convmodule(sd, 'ffm.conv1')
+        fp['atten'], fb['atten'] = _convmodule(sd, 'ffm.conv_atten.0')
+        p['ffm'] = fp
+        bs['ffm'] = fb
+    return p, bs
+
+
 def convert_cc_head(sd: Dict[str, np.ndarray], prefix: str = ''
                     ) -> Tuple[Dict, Dict]:
     """mmseg CCHead (cc_head.py: FCNHead(num_convs=2) + mmcv
@@ -1331,6 +1385,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             # HRNet checkpoints also carry layer1.0.conv1.weight)
         if 'detail.detail_branch.0.0.conv.weight' in bb_sd:  # BiSeNetV2
             return convert_bisenetv2_backbone(bb_sd)
+        if 'spatial_path.layer1.conv.weight' in bb_sd:       # BiSeNetV1
+            return convert_bisenetv1_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
         if 'layer1.0.conv2.conv.weight' in bb_sd:        # ResNeSt SplAt

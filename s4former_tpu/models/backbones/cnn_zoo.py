@@ -230,7 +230,9 @@ class AttentionRefinement(nn.Module):
 
 
 class FeatureFusion(nn.Module):
-    """FFM (bisenetv1.py): concat + conv + SE-style residual gate."""
+    """FFM (ref bisenetv1.py:213-263): concat -> 1x1 ConvModule, then a
+    SINGLE bias-free 1x1 ConvModule (BN + ReLU) on the GAP followed by
+    sigmoid; out = fuse * atten + fuse."""
     channels: int
 
     @nn.compact
@@ -238,9 +240,9 @@ class FeatureFusion(nn.Module):
         x = ConvBN(self.channels, 1, 1, name='conv')(
             jnp.concatenate([a, b], -1), train)
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        gate = nn.relu(nn.Conv(self.channels, (1, 1), name='se1')(pooled))
-        gate = nn.sigmoid(nn.Conv(self.channels, (1, 1), name='se2')(gate))
-        return x + x * gate
+        gate = nn.sigmoid(ConvBN(self.channels, 1, 1,
+                                 name='atten')(pooled, train))
+        return x * gate + x
 
 
 @BACKBONES.register_module()
@@ -261,31 +263,30 @@ class BiSeNetV1(nn.Module):
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
+        from s4former_tpu.ops.resize import resize_nearest
         cfg = dict(self.backbone_cfg or
                    dict(type='ResNet', depth=18, out_indices=(2, 3)))
         cfg.setdefault('out_indices', (2, 3))
-        inner = BACKBONES.build(cfg)
-        # spatial path: 4 convs, stride 2/2/2/1 -> 1/8 resolution
+        inner = BACKBONES.build(dict(cfg, name='context_backbone'))
+        # spatial path (ref :11-81): 7x7 s2, 3x3 s2, 3x3 s2, 1x1 s1
         s = x
         for i, (c, st) in enumerate(zip(self.spatial_channels,
                                         (2, 2, 2, 1))):
             k = 7 if i == 0 else (3 if i < 3 else 1)
             s = ConvBN(c, k, st, name=f'spatial_{i}')(s, train)
-        # context path
+        # context path (ref :129-211); resizes are NEAREST in the ref
         c16, c32 = inner(x, train=train)[-2:]
         gap = jnp.mean(c32, axis=(1, 2), keepdims=True)
         gap = ConvBN(self.context_channels[0], 1, 1, name='gap_conv')(
             gap, train)
         a32 = AttentionRefinement(self.context_channels[0],
                                   name='arm32')(c32, train)
-        a32 = a32 + gap
-        a32 = resize_bilinear(a32, c16.shape[1:3], False)
+        a32 = resize_nearest(a32 + gap, c16.shape[1:3])
         a32 = ConvBN(self.context_channels[0], 3, 1, name='refine32')(
             a32, train)
         a16 = AttentionRefinement(self.context_channels[0],
                                   name='arm16')(c16, train)
-        a16 = a16 + resize_bilinear(a32, c16.shape[1:3], False)
-        a16 = resize_bilinear(a16, s.shape[1:3], False)
+        a16 = resize_nearest(a16 + a32, s.shape[1:3])
         a16 = ConvBN(self.context_channels[0], 3, 1, name='refine16')(
             a16, train)
         fused = FeatureFusion(self.out_channels, name='ffm')(s, a16, train)
