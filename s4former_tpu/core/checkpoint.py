@@ -1088,6 +1088,101 @@ def convert_bisenetv2_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_stdc_backbone(sd: Dict[str, np.ndarray],
+                          prefix: str = '') -> Tuple[Dict, Dict]:
+    """mmseg STDCNet state_dict -> our cnn_zoo.STDCNet layout.
+
+    Reference layout (stdc.py:188-325): ``stages.{0,1}`` shallow
+    ConvModules; ``stages.{s}.{j}`` STDCModules — cat type keeps conv_0
+    at ``layers.0`` with the stride-2 depthwise at ``downsample``; add
+    type nests conv_0 at ``layers.0.0`` (the downsample shares
+    ``layers.0.1`` and ``downsample``) and adds ``skip.{0,1}``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    sub = {k[len(prefix):]: v for k, v in sd.items()
+           if k.startswith(prefix)} if prefix else sd
+
+    def cm(ref_key, our_key, dst_p=p, dst_b=bs):
+        if ref_key + '.conv.weight' in sub:
+            dst_p[our_key], dst_b[our_key] = _convmodule(sub, ref_key)
+            return True
+        return False
+
+    cm('stages.0', 'stages_0')
+    cm('stages.1', 'stages_1')
+    s = 2
+    while f'stages.{s}.0.layers.0.conv.weight' in sub or \
+            f'stages.{s}.0.layers.0.0.conv.weight' in sub:
+        j = 0
+        while True:
+            pre = f'stages.{s}.{j}.'
+            is_cat = pre + 'layers.0.conv.weight' in sub
+            is_add = pre + 'layers.0.0.conv.weight' in sub
+            if not (is_cat or is_add):
+                break
+            mp: Dict[str, Any] = {}
+            mb: Dict[str, Any] = {}
+            if is_cat:
+                cm(pre + 'layers.0', 'layers_0', mp, mb)
+            else:
+                cm(pre + 'layers.0.0', 'layers_0', mp, mb)
+                cm(pre + 'layers.0.1', 'downsample', mp, mb)
+            cm(pre + 'downsample', 'downsample', mp, mb)
+            k = 1
+            while cm(pre + f'layers.{k}', f'layers_{k}', mp, mb):
+                k += 1
+            for k in (0, 1):
+                cm(pre + f'skip.{k}', f'skip_{k}', mp, mb)
+            p[f'stages_{s}_{j}'] = mp
+            bs[f'stages_{s}_{j}'] = mb
+            j += 1
+        s += 1
+    cm('final_conv', 'final_conv')
+    return p, bs
+
+
+def convert_stdc_context_path(sd: Dict[str, np.ndarray]
+                              ) -> Tuple[Dict, Dict]:
+    """mmseg STDCContextPathNet state_dict (keys WITHOUT the segmentor's
+    'backbone.') -> our cnn_zoo.STDCContextPathNet layout (nested
+    STDCNet under 'backbone', ARMs, convs, conv_avg, STDC FFM with
+    bias-free no-norm attention convs)."""
+    p, bs = convert_stdc_backbone(sd, prefix='backbone.')
+    p = {'backbone': p}
+    bs = {'backbone': bs}
+    for i in (0, 1):
+        pre = f'arms.{i}.'
+        if pre + 'conv_layer.conv.weight' not in sd:
+            continue
+        ap: Dict[str, Any] = {}
+        ab: Dict[str, Any] = {}
+        ap['conv'], ab['conv'] = _convmodule(sd, pre + 'conv_layer')
+        w = sd[pre + 'atten_conv_layer.1.conv.weight']
+        ap['gate_conv'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        ap['gate_bn'] = {'scale': sd[pre + 'atten_conv_layer.1.bn.weight'],
+                         'bias': sd[pre + 'atten_conv_layer.1.bn.bias']}
+        ab['gate_bn'] = {
+            'mean': sd[pre + 'atten_conv_layer.1.bn.running_mean'],
+            'var': sd[pre + 'atten_conv_layer.1.bn.running_var']}
+        p[f'arms_{i}'] = ap
+        bs[f'arms_{i}'] = ab
+        if f'convs.{i}.conv.weight' in sd:
+            p[f'convs_{i}'], bs[f'convs_{i}'] = _convmodule(
+                sd, f'convs.{i}')
+    if 'conv_avg.conv.weight' in sd:
+        p['conv_avg'], bs['conv_avg'] = _convmodule(sd, 'conv_avg')
+    if 'ffm.conv0.conv.weight' in sd:
+        fp: Dict[str, Any] = {}
+        fb: Dict[str, Any] = {}
+        fp['conv0'], fb['conv0'] = _convmodule(sd, 'ffm.conv0')
+        for k, ours in ((1, 'atten_0'), (2, 'atten_1')):
+            w = sd[f'ffm.attention.{k}.conv.weight']
+            fp[ours] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        p['ffm'] = fp
+        bs['ffm'] = fb
+    return p, bs
+
+
 def convert_bisenetv1_backbone(sd: Dict[str, np.ndarray]
                                ) -> Tuple[Dict, Dict]:
     """mmseg BiSeNetV1 state_dict (keys WITHOUT 'backbone.') -> our
@@ -1387,6 +1482,10 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_bisenetv2_backbone(bb_sd)
         if 'spatial_path.layer1.conv.weight' in bb_sd:       # BiSeNetV1
             return convert_bisenetv1_backbone(bb_sd)
+        if 'backbone.stages.0.conv.weight' in bb_sd:  # STDCContextPath
+            return convert_stdc_context_path(bb_sd)
+        if 'stages.0.conv.weight' in bb_sd:                  # bare STDCNet
+            return convert_stdc_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
         if 'layer1.0.conv2.conv.weight' in bb_sd:        # ResNeSt SplAt

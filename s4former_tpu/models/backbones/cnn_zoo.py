@@ -417,32 +417,47 @@ class BiSeNetV2(nn.Module):
 
 # ------------------------------------------------------------------ STDC
 class STDCModule(nn.Module):
-    """(stdc.py): cascade of convs with halving channels, concatenated."""
+    """(ref stdc.py:14-129), exact structure for both fusion types.
+
+    cat: layers.0 = 1x1 ConvModule (out/2); stride-2 variants insert a
+    depthwise 3x3 s2 ConvModule (BN, no act) between layers.0 and
+    layers.1 and replace the first concat slot with AvgPool(3, 2) of
+    x0. add: the downsample joins layers.0's Sequential and the skip is
+    depthwise 3x3 s2 + 1x1 (both BN, no act) on the raw input, summed
+    onto the concat. layers[i] out = C//2^(i+1), last layer C//2^i."""
     channels: int
     stride: int = 1
     num_convs: int = 4
+    fusion_type: str = 'cat'
 
     @nn.compact
     def __call__(self, x, train=False):
-        outs = []
         c = self.channels
-        y = ConvBN(c // 2, 1, 1, name='conv0')(x, train)
-        if self.stride == 2:
-            outs.append(nn.avg_pool(y, (3, 3), strides=(2, 2),
-                                    padding=((1, 1), (1, 1))))
-            y = ConvBN(c // 4, 3, 2, name='conv1')(y, train)
-        else:
-            outs.append(y)
-            y = ConvBN(c // 4, 3, 1, name='conv1')(y, train)
-        outs.append(y)
-        frac = 8
-        for i in range(2, self.num_convs):
+        x0 = ConvBN(c // 2, 1, 1, name='layers_0')(x, train)
+        d = ConvBN(c // 2, 3, 2, groups=c // 2, name='downsample')(
+            x0, train, relu=False) if self.stride == 2 else x0
+        y = d
+        rest = []
+        for i in range(1, self.num_convs):
             last = i == self.num_convs - 1
-            ch = c // frac if not last else c // (frac // 2)
-            y = ConvBN(ch, 3, 1, name=f'conv{i}')(y, train)
-            outs.append(y)
-            frac *= 2
-        return jnp.concatenate(outs, -1)
+            ch = c // (2 ** i if last else 2 ** (i + 1))
+            y = ConvBN(ch, 3, 1, name=f'layers_{i}')(y, train)
+            rest.append(y)
+        if self.fusion_type == 'cat':
+            first = nn.avg_pool(x0, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1))) \
+                if self.stride == 2 else x0
+            return jnp.concatenate([first] + rest, -1)
+        # 'add' (ref :103-112): layer_outputs[0] is the POST-downsample
+        # x0 (layers.0 is Sequential(conv_0, downsample) there); skip =
+        # dw 3x3 s2 + 1x1 projection of the raw input
+        if self.stride == 2:
+            skip = ConvBN(x.shape[-1], 3, 2, groups=x.shape[-1],
+                          name='skip_0')(x, train, relu=False)
+            skip = ConvBN(c, 1, 1, name='skip_1')(skip, train, relu=False)
+        else:
+            skip = x
+        return jnp.concatenate([d] + rest, -1) + skip
 
 
 @BACKBONES.register_module()
@@ -460,18 +475,24 @@ class STDCNet(nn.Module):
     init_cfg: Optional[dict] = None
     pretrained: Optional[str] = None
 
+    # ref stdc.py:287-290 arch_settings: per-stage module strides
+    _ARCH = {'STDCNet1': ((2, 1), (2, 1), (2, 1)),
+             'STDCNet2': ((2, 1, 1, 1), (2, 1, 1, 1, 1), (2, 1, 1))}
+
     @nn.compact
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
-        blocks_per_stage = 2 if self.stdc_type == 'STDCNet1' else 4
-        x = ConvBN(self.channels[0], 3, 2, name='stem0')(x, train)
-        x = ConvBN(self.channels[1], 3, 2, name='stem1')(x, train)
+        # stages.0/1 are plain 3x3 s2 ConvModules (shallow, cut from outs
+        # — ref :258-276); stages.2+ are Sequentials of STDCModules
+        x = ConvBN(self.channels[0], 3, 2, name='stages_0')(x, train)
+        x = ConvBN(self.channels[1], 3, 2, name='stages_1')(x, train)
         outs = []
-        for i, c in enumerate(self.channels[2:]):
-            for j in range(blocks_per_stage):
-                x = STDCModule(c, 2 if j == 0 else 1, self.num_convs,
-                               name=f'stage{i}_{j}')(x, train)
+        for i, strides in enumerate(self._ARCH[self.stdc_type]):
+            for j, st in enumerate(strides):
+                x = STDCModule(self.channels[i + 2], st, self.num_convs,
+                               self.bottleneck_type,
+                               name=f'stages_{i + 2}_{j}')(x, train)
             outs.append(x)
         if self.with_final_conv:
             outs[-1] = ConvBN(max(1024, self.channels[-1]), 1, 1,
@@ -482,15 +503,40 @@ class STDCNet(nn.Module):
         return outs
 
 
+class STDCFeatureFusion(nn.Module):
+    """STDC's FFM (ref stdc.py:131-185): 1x1 ConvModule then a TWO-conv
+    bottleneck attention (both bias-free, NO norm; first ReLU, second
+    plain) + sigmoid; out = fuse*attn + fuse."""
+    out_channels: int
+    scale_factor: int = 4
+
+    @nn.compact
+    def __call__(self, a, b, train=False):
+        x = ConvBN(self.out_channels, 1, 1, name='conv0')(
+            jnp.concatenate([a, b], -1), train)
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        inter = self.out_channels // self.scale_factor
+        g = nn.relu(nn.Conv(inter, (1, 1), use_bias=False,
+                            name='atten_0')(pooled))
+        g = nn.sigmoid(nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                               name='atten_1')(g))
+        return x * g + x
+
+
 @BACKBONES.register_module()
 class STDCContextPathNet(nn.Module):
-    """(stdc.py STDCContextPathNet): STDCNet + BiSeNet-style context path
-    (ARM + global pool) + FFM. Outputs (ffm, arm16_up, arm32_up) plus the
-    1/8 detail tap used by STDC's detail-guidance loss."""
+    """(ref stdc.py:328-422): STDCNet + ARM context path + STDC FFM.
+
+    Output order matches the reference exactly: (detail tap outs[0] at
+    1/8, arms_out[0] at 1/16, arms_out[1] at 1/8, feat_fuse) — the stdc
+    configs' in_index values depend on it. Upsampling NEAREST."""
     backbone_cfg: Optional[dict] = None
     last_in_channels: Sequence[int] = (1024, 512)
     out_channels: int = 128
-    ffn_channels: int = 256
+    ffm_cfg: Optional[dict] = None
+    ffn_channels: int = 256  # legacy alias used when ffm_cfg is absent
+    upsample_mode: str = 'nearest'
+    align_corners: Optional[bool] = None
     norm_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
@@ -498,24 +544,40 @@ class STDCContextPathNet(nn.Module):
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
+        from s4former_tpu.ops.resize import resize_nearest
+
+        def up(t, hw):
+            if self.upsample_mode == 'nearest':
+                return resize_nearest(t, hw)
+            return resize_bilinear(t, hw, bool(self.align_corners))
+
         inner = BACKBONES.build(dict(self.backbone_cfg or
-                                     dict(type='STDCNet')))
-        f8, f16, f32 = inner(x, train=train)[-3:]
-        gap = ConvBN(self.out_channels, 1, 1, name='gap_conv')(
-            jnp.mean(f32, axis=(1, 2), keepdims=True), train)
-        a32 = AttentionRefinement(self.out_channels, name='arm32')(
-            f32, train) + gap
-        a32 = ConvBN(self.out_channels, 3, 1, name='refine32')(
-            resize_bilinear(a32, f16.shape[1:3], False), train)
-        a16 = AttentionRefinement(self.out_channels, name='arm16')(
-            f16, train) + a32
-        a16 = ConvBN(self.out_channels, 3, 1, name='refine16')(
-            resize_bilinear(a16, f8.shape[1:3], False), train)
-        ffm = FeatureFusion(self.ffn_channels, name='ffm')(f8, a16, train)
-        outs = (ffm, a16, a32, f8)
+                                     dict(type='STDCNet'),
+                                     name='backbone'))
+        outs = list(inner(x, train=train))
+        avg = jnp.mean(outs[-1], axis=(1, 2), keepdims=True)
+        feature_up = ConvBN(self.out_channels, 1, 1,
+                            name='conv_avg')(avg, train)
+        feature_up = up(feature_up, outs[-1].shape[1:3])
+        arms_out = []
+        for i in range(2):
+            x_arm = AttentionRefinement(
+                self.out_channels, name=f'arms_{i}')(
+                    outs[len(outs) - 1 - i], train) + feature_up
+            feature_up = up(x_arm, outs[len(outs) - 2 - i].shape[1:3])
+            feature_up = ConvBN(self.out_channels, 3, 1,
+                                name=f'convs_{i}')(feature_up, train)
+            arms_out.append(feature_up)
+        ffm_cfg = dict(self.ffm_cfg) if self.ffm_cfg else \
+            dict(out_channels=self.ffn_channels, scale_factor=4)
+        ffm_cfg.pop('in_channels', None)
+        feat_fuse = STDCFeatureFusion(
+            ffm_cfg['out_channels'], ffm_cfg.get('scale_factor', 4),
+            name='ffm')(outs[0], arms_out[1], train)
+        result = (outs[0], arms_out[0], arms_out[1], feat_fuse)
         if return_attn:
-            return outs, ([], None)
-        return outs
+            return result, ([], None)
+        return result
 
 
 # -------------------------------------------------------------- FastSCNN
