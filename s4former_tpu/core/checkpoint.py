@@ -1088,6 +1088,71 @@ def convert_bisenetv2_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def _dwsep(sd, key, dw_name, bn_name, pw_name, p, bs):
+    """DepthwiseSeparableConvModule -> split flax modules: bare dw conv +
+    standalone BN (+ pointwise ConvBN)."""
+    dw = sd[key + '.depthwise_conv.conv.weight']
+    p[dw_name] = {'kernel': np.transpose(dw, (2, 3, 1, 0))}
+    p[bn_name] = {'scale': sd[key + '.depthwise_conv.bn.weight'],
+                  'bias': sd[key + '.depthwise_conv.bn.bias']}
+    bs[bn_name] = {'mean': sd[key + '.depthwise_conv.bn.running_mean'],
+                   'var': sd[key + '.depthwise_conv.bn.running_var']}
+    p[pw_name], bs[pw_name] = _convmodule(sd, key + '.pointwise_conv')
+
+
+def convert_fastscnn_backbone(sd: Dict[str, np.ndarray]
+                              ) -> Tuple[Dict, Dict]:
+    """mmseg FastSCNN state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.FastSCNN layout.
+
+    Reference layout (fast_scnn.py:13-270):
+    ``learning_to_downsample.{conv,dsconv1,dsconv2}``;
+    ``global_feature_extractor.bottleneck{1..3}.{j}.conv.{0,1,2}``
+    (InvertedResidual expand/dw/linear ConvModules),
+    ``...ppm.{i}.1``, ``...out``; ``feature_fusion.{dwconv,
+    conv_lower_res,conv_higher_res}``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p['lds0'], bs['lds0'] = _convmodule(sd, 'learning_to_downsample.conv')
+    _dwsep(sd, 'learning_to_downsample.dsconv1', 'lds1_dw', 'lds1_bn',
+           'lds1_pw', p, bs)
+    _dwsep(sd, 'learning_to_downsample.dsconv2', 'lds2_dw', 'lds2_bn',
+           'lds2_pw', p, bs)
+    g = 'global_feature_extractor.'
+    for i in range(3):
+        j = 0
+        while f'{g}bottleneck{i + 1}.{j}.conv.0.conv.weight' in sd:
+            pre = f'{g}bottleneck{i + 1}.{j}.conv.'
+            mp: Dict[str, Any] = {}
+            mb: Dict[str, Any] = {}
+            mp['expand'], mb['expand'] = _convmodule(sd, pre + '0')
+            dw = sd[pre + '1.conv.weight']
+            mp['dw'] = {'kernel': np.transpose(dw, (2, 3, 1, 0))}
+            mp['dw_bn'] = {'scale': sd[pre + '1.bn.weight'],
+                           'bias': sd[pre + '1.bn.bias']}
+            mb['dw_bn'] = {'mean': sd[pre + '1.bn.running_mean'],
+                           'var': sd[pre + '1.bn.running_var']}
+            mp['proj'], mb['proj'] = _convmodule(sd, pre + '2')
+            p[f'gfe_{i}_{j}'] = mp
+            bs[f'gfe_{i}_{j}'] = mb
+            j += 1
+    i = 0
+    while f'{g}ppm.{i}.1.conv.weight' in sd:
+        p[f'ppm_{i}'], bs[f'ppm_{i}'] = _convmodule(sd, f'{g}ppm.{i}.1')
+        i += 1
+    p['ppm_out'], bs['ppm_out'] = _convmodule(sd, g + 'out')
+    f = 'feature_fusion.'
+    dw = sd[f + 'dwconv.conv.weight']
+    p['ffm_dw'] = {'kernel': np.transpose(dw, (2, 3, 1, 0))}
+    p['ffm_dw_bn'] = {'scale': sd[f + 'dwconv.bn.weight'],
+                      'bias': sd[f + 'dwconv.bn.bias']}
+    bs['ffm_dw_bn'] = {'mean': sd[f + 'dwconv.bn.running_mean'],
+                       'var': sd[f + 'dwconv.bn.running_var']}
+    p['ffm_low'], bs['ffm_low'] = _convmodule(sd, f + 'conv_lower_res')
+    p['ffm_high'], bs['ffm_high'] = _convmodule(sd, f + 'conv_higher_res')
+    return p, bs
+
+
 def convert_stdc_backbone(sd: Dict[str, np.ndarray],
                           prefix: str = '') -> Tuple[Dict, Dict]:
     """mmseg STDCNet state_dict -> our cnn_zoo.STDCNet layout.
@@ -1484,6 +1549,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_bisenetv1_backbone(bb_sd)
         if 'backbone.stages.0.conv.weight' in bb_sd:  # STDCContextPath
             return convert_stdc_context_path(bb_sd)
+        if 'learning_to_downsample.conv.conv.weight' in bb_sd:  # FastSCNN
+            return convert_fastscnn_backbone(bb_sd)
         if 'stages.0.conv.weight' in bb_sd:                  # bare STDCNet
             return convert_stdc_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2

@@ -630,15 +630,15 @@ class FastSCNN(nn.Module):
         from s4former_tpu.models.decode_heads.zoo_heads import _adaptive_pool
 
         def sep_s2(y, out_c, name):
-            # stride-2 separable conv: depthwise s2 + pointwise
+            # stride-2 separable conv: depthwise s2 (BN, NO act — the ref
+            # passes dw_act_cfg=None, fast_scnn.py:57-74) + pointwise
             c = y.shape[-1]
             y = nn.Conv(c, (3, 3), strides=(2, 2), padding=1,
                         feature_group_count=c, use_bias=False,
                         name=f'{name}_dw')(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f'{name}_bn')(y)
-            return ConvBN(out_c, 1, 1, name=f'{name}_pw')(nn.relu(y),
-                                                          train)
+            return ConvBN(out_c, 1, 1, name=f'{name}_pw')(y, train)
 
         # learning to downsample: conv + 2 separable convs, stride 2 EACH
         # (fast_scnn.py LearningToDownsample) -> 1/8 resolution
@@ -658,7 +658,9 @@ class FastSCNN(nn.Module):
         branches = [g]
         for i, sc in enumerate(self.pool_scales):
             p = _adaptive_pool(g, sc)
-            p = ConvBN(self.global_out_channels // 4, 1, 1,
+            # ref PPM inter-channels = block_channels[-1] // 4
+            # (fast_scnn.py:144-147), not global_out // 4
+            p = ConvBN(self.global_block_channels[-1] // 4, 1, 1,
                        name=f'ppm_{i}')(p, train)
             branches.append(resize_bilinear(p, (h, w), self.align_corners))
         lower = ConvBN(self.global_out_channels, 3, 1, name='ppm_out')(
