@@ -1153,6 +1153,36 @@ def convert_fastscnn_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_icnet_backbone(sd: Dict[str, np.ndarray]
+                           ) -> Tuple[Dict, Dict]:
+    """mmseg ICNet state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.ICNet layout.
+
+    Reference layout (icnet.py:46-166): nested ``backbone.*`` (ResNet —
+    reuses convert_resnet_backbone), ``psp_modules.{i}.1`` per-scale
+    ConvModules, ``psp_bottleneck``, ``conv_sub1.{0,1,2}``,
+    ``conv_sub2``, ``conv_sub4``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    inner = {k[len('backbone.'):]: v for k, v in sd.items()
+             if k.startswith('backbone.')}
+    if inner:
+        p['backbone'], bs['backbone'] = convert_resnet_backbone(inner)
+    i = 0
+    while f'psp_modules.{i}.1.conv.weight' in sd:
+        p[f'psp_{i}'], bs[f'psp_{i}'] = _convmodule(sd, f'psp_modules.{i}.1')
+        i += 1
+    for ref, ours in (('psp_bottleneck', 'psp_bottleneck'),
+                      ('conv_sub1.0', 'conv_sub1_0'),
+                      ('conv_sub1.1', 'conv_sub1_1'),
+                      ('conv_sub1.2', 'conv_sub1_2'),
+                      ('conv_sub2', 'conv_sub2'),
+                      ('conv_sub4', 'conv_sub4')):
+        if ref + '.conv.weight' in sd:
+            p[ours], bs[ours] = _convmodule(sd, ref)
+    return p, bs
+
+
 def convert_stdc_backbone(sd: Dict[str, np.ndarray],
                           prefix: str = '') -> Tuple[Dict, Dict]:
     """mmseg STDCNet state_dict -> our cnn_zoo.STDCNet layout.
@@ -1551,6 +1581,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_stdc_context_path(bb_sd)
         if 'learning_to_downsample.conv.conv.weight' in bb_sd:  # FastSCNN
             return convert_fastscnn_backbone(bb_sd)
+        if 'conv_sub1.0.conv.weight' in bb_sd:               # ICNet
+            return convert_icnet_backbone(bb_sd)
         if 'stages.0.conv.weight' in bb_sd:                  # bare STDCNet
             return convert_stdc_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2

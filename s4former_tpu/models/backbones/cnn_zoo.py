@@ -881,8 +881,14 @@ class ICNet(nn.Module):
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
         from s4former_tpu.models.decode_heads.zoo_heads import _adaptive_pool
-        inner = BACKBONES.build(dict(self.backbone_cfg or dict(
-            type='ResNetV1c', depth=50, out_indices=(1, 3))))
+        # the 0.5x feature resize between layer2 and layer3 lives INSIDE
+        # the shared backbone (ResNet.half_after_stage — ref icnet.py
+        # :149-159 resizes between the stage calls); the layer2 tap is
+        # pre-resize
+        cfg = dict(self.backbone_cfg or dict(type='ResNetV1c', depth=50))
+        cfg.update(out_indices=(1, 3), half_after_stage=1,
+                   align_corners=self.align_corners, name='backbone')
+        inner = BACKBONES.build(cfg)
         # scale-1 light branch: 3 convs stride 2 -> 1/8
         s1 = ConvBN(self.light_branch_middle_channels, 3, 2,
                     name='conv_sub1_0')(x, train)
@@ -890,23 +896,24 @@ class ICNet(nn.Module):
                     name='conv_sub1_1')(s1, train)
         s1 = ConvBN(self.out_channels[0], 3, 2, name='conv_sub1_2')(
             s1, train)
-        # scale-1/2 through the shared backbone's early stages
+        # scale-1/2 image through the shared backbone
         x2 = resize_bilinear(x, (x.shape[1] // 2, x.shape[2] // 2),
                              self.align_corners)
-        feats = inner(x2, train=train)
-        mid, deep = feats[0], feats[-1]
+        mid, deep = inner(x2, train=train)
         s2 = ConvBN(self.out_channels[1], 1, 1, name='conv_sub2')(
             mid, train)
-        # scale-1/4: deepest features + PPM
-        d = resize_bilinear(deep, (max(deep.shape[1] // 2, 1),
-                                   max(deep.shape[2] // 2, 1)),
-                            self.align_corners)
-        h, w = d.shape[1:3]
-        branches = [d]
+        # PPM (ref PPM: per-scale 1x1 ConvModule to psp_out_channels,
+        # bilinear back; identity features concatenated LAST; 3x3
+        # bottleneck — icnet.py:77-94,160-162)
+        h, w = deep.shape[1:3]
+        branches = []
         for i, sc in enumerate(self.pool_scales):
-            p = _adaptive_pool(d, sc)
+            p = _adaptive_pool(deep, sc)
+            p = ConvBN(self.psp_out_channels, 1, 1,
+                       name=f'psp_{i}')(p, train)
             branches.append(resize_bilinear(p, (h, w), self.align_corners))
-        d = ConvBN(self.psp_out_channels, 1, 1, name='psp_bottleneck')(
+        branches.append(deep)
+        d = ConvBN(self.psp_out_channels, 3, 1, name='psp_bottleneck')(
             jnp.concatenate(branches, -1), train)
         s4 = ConvBN(self.out_channels[2], 1, 1, name='conv_sub4')(d, train)
         outs = (s1, s2, s4)

@@ -109,6 +109,10 @@ class ResNet(nn.Module):
     pretrained: Optional[str] = None
     frozen_stages: int = -1
     with_cp: bool = False
+    # ICNet hook (ref icnet.py:152-159): bilinear-halve the FEATURES
+    # after this stage index before running the remaining stages
+    half_after_stage: Optional[int] = None
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False,
@@ -153,6 +157,16 @@ class ResNet(nn.Module):
                 else:
                     x_out = x
                 outs.append(x_out)
+            if i == self.half_after_stage:
+                # the out_indices tap above sees the PRE-resize features
+                # (ref icnet.py:149-159: layer2 -> conv_sub2 tap ->
+                # resize 0.5 -> layer3). NOTE the ref also flips the stem
+                # maxpool to ceil_mode=True; jax lacks ceil_mode — even
+                # input sizes are identical (disclosed in PARITY.md)
+                from s4former_tpu.ops.resize import resize_bilinear
+                x = resize_bilinear(
+                    x, (max(x.shape[1] // 2, 1), max(x.shape[2] // 2, 1)),
+                    self.align_corners)
         if return_attn:
             return tuple(outs), ([], None)
         return tuple(outs)
