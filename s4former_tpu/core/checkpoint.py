@@ -1153,6 +1153,129 @@ def convert_fastscnn_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_erfnet_backbone(sd: Dict[str, np.ndarray]
+                            ) -> Tuple[Dict, Dict]:
+    """mmseg ERFNet state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.ERFNet layout.
+
+    Reference layout (erfnet.py:11-331): flat ``encoder.{i}`` /
+    ``decoder.{i}`` ModuleLists. DownsamplerBlock: biased ``conv`` +
+    ``bn``. NonBottleneck1d: ``convs_layers.{0,2,5,7}`` biased convs +
+    ``convs_layers.{3,8}`` BNs. UpsamplerBlock: ConvTranspose2d
+    ``conv`` — kernel maps to flax as transpose(2,3,0,1) with BOTH
+    spatial axes flipped (torch deconv == flax ConvTranspose with
+    padding ((1,2),(1,2)); pinned in tests/test_core/
+    test_erfnet_parity.py) + ``bn``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def bn(key):
+        return ({'scale': sd[key + '.weight'], 'bias': sd[key + '.bias']},
+                {'mean': sd[key + '.running_mean'],
+                 'var': sd[key + '.running_var']})
+
+    def conv(key):
+        w = sd[key + '.weight']
+        out = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        if key + '.bias' in sd:
+            out['bias'] = sd[key + '.bias']
+        return out
+
+    def nonbottleneck(pre):
+        mp: Dict[str, Any] = {}
+        mb: Dict[str, Any] = {}
+        mp['c31a'] = conv(pre + 'convs_layers.0')
+        mp['c13a'] = conv(pre + 'convs_layers.2')
+        mp['bn1'], mb['bn1'] = bn(pre + 'convs_layers.3')
+        mp['c31b'] = conv(pre + 'convs_layers.5')
+        mp['c13b'] = conv(pre + 'convs_layers.7')
+        mp['bn2'], mb['bn2'] = bn(pre + 'convs_layers.8')
+        return mp, mb
+
+    i = 0
+    while f'encoder.{i}.conv.weight' in sd or \
+            f'encoder.{i}.convs_layers.0.weight' in sd:
+        pre = f'encoder.{i}.'
+        if pre + 'conv.weight' in sd:            # DownsamplerBlock
+            mp = {'conv': conv(pre + 'conv')}
+            mp['bn'], mbn = bn(pre + 'bn')
+            p[f'encoder_{i}'] = mp
+            bs[f'encoder_{i}'] = {'bn': mbn}
+        else:
+            p[f'encoder_{i}'], bs[f'encoder_{i}'] = nonbottleneck(pre)
+        i += 1
+    i = 0
+    while f'decoder.{i}.conv.weight' in sd or \
+            f'decoder.{i}.convs_layers.0.weight' in sd:
+        pre = f'decoder.{i}.'
+        if pre + 'conv.weight' in sd:            # UpsamplerBlock
+            w = sd[pre + 'conv.weight']          # [Cin, Cout, 3, 3]
+            p[f'decoder_{i}_conv'] = {
+                'kernel': np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy(),
+                'bias': sd[pre + 'conv.bias']}
+            pb, sb = bn(pre + 'bn')
+            p[f'decoder_{i}_bn'] = pb
+            bs[f'decoder_{i}_bn'] = sb
+        else:
+            p[f'decoder_{i}'], bs[f'decoder_{i}'] = nonbottleneck(pre)
+        i += 1
+    return p, bs
+
+
+def convert_cgnet_backbone(sd: Dict[str, np.ndarray]
+                           ) -> Tuple[Dict, Dict]:
+    """mmseg CGNet state_dict (keys WITHOUT 'backbone.') -> our
+    cnn_zoo.CGNet layout.
+
+    Reference layout (cgnet.py:54-363): ``stem.{i}`` ConvModules with a
+    parametric PReLU at ``.activate``; ``norm_prelu_{k}.{0,1}`` BN +
+    PReLU after each stage concat; ``level{1,2}.{j}`` CG blocks
+    (conv1x1 ConvModule+PReLU, bias-free depthwise f_loc/f_sur, joint
+    bn + activate PReLU, downsample-only ``bottleneck``, f_glo.fc
+    Linear SE)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def prelu(key):
+        return {'alpha': sd[key + '.weight']}
+
+    def bnorm(key):
+        return ({'scale': sd[key + '.weight'], 'bias': sd[key + '.bias']},
+                {'mean': sd[key + '.running_mean'],
+                 'var': sd[key + '.running_var']})
+
+    for i in range(3):
+        p[f'stem_{i}'], bs[f'stem_{i}'] = _convmodule(sd, f'stem.{i}')
+        p[f'stem_{i}_act'] = prelu(f'stem.{i}.activate')
+    for k in range(3):
+        p[f'norm_prelu_{k}_bn'], bs[f'norm_prelu_{k}_bn'] = bnorm(
+            f'norm_prelu_{k}.0')
+        p[f'norm_prelu_{k}_act'] = prelu(f'norm_prelu_{k}.1')
+    for lvl in (1, 2):
+        j = 0
+        while f'level{lvl}.{j}.conv1x1.conv.weight' in sd:
+            pre = f'level{lvl}.{j}.'
+            mp: Dict[str, Any] = {}
+            mb: Dict[str, Any] = {}
+            mp['conv1x1'], mb['conv1x1'] = _convmodule(sd, pre + 'conv1x1')
+            mp['conv1x1_act'] = prelu(pre + 'conv1x1.activate')
+            for name in ('f_loc', 'f_sur'):
+                w = sd[pre + name + '.weight']
+                mp[name] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+            mp['bn'], mb['bn'] = bnorm(pre + 'bn')
+            mp['activate'] = prelu(pre + 'activate')
+            if pre + 'bottleneck.weight' in sd:
+                w = sd[pre + 'bottleneck.weight']
+                mp['bottleneck'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+            for fc, idx in (('fc1', 0), ('fc2', 2)):
+                mp[fc] = {'kernel': sd[pre + f'f_glo.fc.{idx}.weight'].T,
+                          'bias': sd[pre + f'f_glo.fc.{idx}.bias']}
+            p[f'level{lvl}_{j}'] = mp
+            bs[f'level{lvl}_{j}'] = mb
+            j += 1
+    return p, bs
+
+
 def convert_icnet_backbone(sd: Dict[str, np.ndarray]
                            ) -> Tuple[Dict, Dict]:
     """mmseg ICNet state_dict (keys WITHOUT 'backbone.') -> our
@@ -1583,6 +1706,10 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_fastscnn_backbone(bb_sd)
         if 'conv_sub1.0.conv.weight' in bb_sd:               # ICNet
             return convert_icnet_backbone(bb_sd)
+        if 'norm_prelu_0.1.weight' in bb_sd:                 # CGNet
+            return convert_cgnet_backbone(bb_sd)
+        if 'encoder.0.conv.weight' in bb_sd:                 # ERFNet
+            return convert_erfnet_backbone(bb_sd)
         if 'stages.0.conv.weight' in bb_sd:                  # bare STDCNet
             return convert_stdc_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2

@@ -685,9 +685,23 @@ class FastSCNN(nn.Module):
 
 
 # ----------------------------------------------------------------- CGNet
+class PReLUChannel(nn.Module):
+    """torch nn.PReLU(num_parameters=C): per-channel learned slope."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param('alpha', nn.initializers.constant(0.25),
+                       (x.shape[-1],))
+        return jnp.where(x >= 0, x, a * x)
+
+
 class CGBlock(nn.Module):
-    """Context Guided block (cgnet.py): local conv + surrounding dilated
-    conv (depthwise), joint BN+PReLU, global-context channel gate."""
+    """ContextGuidedBlock, exact reference structure (ref cgnet.py
+    :54-168): conv1x1 ConvModule with PReLU act (3x3 s2 when
+    downsampling), parallel depthwise local/surrounding convs, joint
+    BN + per-channel PReLU, 1x1 bottleneck ONLY when downsampling
+    (2*(out//2) == out otherwise), Linear-SE global context gate,
+    skip only when not downsampling."""
     channels: int
     dilation: int = 2
     reduction: int = 16
@@ -696,10 +710,11 @@ class CGBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         c = self.channels
-        n = c // 2 if not self.downsample else c
-        stride = 2 if self.downsample else 1
-        y = ConvBN(n, 3 if self.downsample else 1, stride,
-                   name='conv1x1')(x, train)
+        n = c if self.downsample else c // 2
+        y = ConvBN(n, 3 if self.downsample else 1,
+                   2 if self.downsample else 1,
+                   name='conv1x1')(x, train, relu=False)
+        y = PReLUChannel(name='conv1x1_act')(y)
         loc = nn.Conv(n, (3, 3), padding=1, feature_group_count=n,
                       use_bias=False, name='f_loc')(y)
         sur = nn.Conv(n, (3, 3), padding=self.dilation,
@@ -708,23 +723,26 @@ class CGBlock(nn.Module):
         joi = jnp.concatenate([loc, sur], -1)
         joi = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name='bn')(joi)
-        joi = nn.PReLU(name='prelu')(joi)
-        if not self.downsample:
-            joi = ConvBN(c, 1, 1, name='reduce')(joi, train, relu=False)
-        # global context gate
+        joi = PReLUChannel(name='activate')(joi)
+        if self.downsample:
+            joi = nn.Conv(c, (1, 1), use_bias=False,
+                          name='bottleneck')(joi)
+        # GlobalContextExtractor (ref :14-51): biased Linear SE
         gap = jnp.mean(joi, axis=(1, 2))
-        g = nn.relu(nn.Dense(max(joi.shape[-1] // self.reduction, 1),
+        g = nn.relu(nn.Dense(joi.shape[-1] // self.reduction,
                              name='fc1')(gap))
         g = nn.sigmoid(nn.Dense(joi.shape[-1], name='fc2')(g))
         joi = joi * g[:, None, None, :]
-        if not self.downsample and x.shape == joi.shape:
+        if not self.downsample:
             joi = joi + x
         return joi
 
 
 @BACKBONES.register_module()
 class CGNet(nn.Module):
-    """(cgnet.py:372): 3 stages of CG blocks with input injection."""
+    """(ref cgnet.py:187-363): PReLU stem, avg-pool input injections,
+    BN+PReLU after every stage concat, CG-block stages with the
+    reference concat orders ([x, down1, inp_4x] then [down2, x])."""
     in_channels: int = 3
     num_channels: Sequence[int] = (32, 64, 128)
     num_blocks: Sequence[int] = (3, 21)
@@ -732,48 +750,71 @@ class CGNet(nn.Module):
     reductions: Sequence[int] = (8, 16)
     out_indices: Sequence[int] = (0, 1, 2)
     norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
+        def inject(img, times):
+            for _ in range(times):
+                img = nn.avg_pool(img, (3, 3), strides=(2, 2),
+                                  padding=((1, 1), (1, 1)))
+            return img
+
+        def norm_prelu(y, k):
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f'norm_prelu_{k}_bn')(y)
+            return PReLUChannel(name=f'norm_prelu_{k}_act')(y)
+
         inp = x
-        y = ConvBN(self.num_channels[0], 3, 2, name='stem0')(x, train)
-        y = ConvBN(self.num_channels[0], 3, 1, name='stem1')(y, train)
-        y = ConvBN(self.num_channels[0], 3, 1, name='stem2')(y, train)
-        inj1 = jax.image.resize(inp, (inp.shape[0], y.shape[1], y.shape[2],
-                                      inp.shape[3]), 'linear')
-        y = jnp.concatenate([y, inj1], -1)
+        y = x
+        for i in range(3):
+            y = ConvBN(self.num_channels[0], 3, 2 if i == 0 else 1,
+                       name=f'stem_{i}')(y, train, relu=False)
+            y = PReLUChannel(name=f'stem_{i}_act')(y)
+        inp_2x = inject(inp, 1)
+        inp_4x = inject(inp, 2)
+        y = norm_prelu(jnp.concatenate([y, inp_2x], -1), 0)
         outs = [y]
-        for s in range(2):
-            blocks = self.num_blocks[s]
-            y2 = CGBlock(self.num_channels[s + 1], self.dilations[s],
-                         self.reductions[s], downsample=True,
-                         name=f'stage{s}_down')(y, train)
-            z = y2
-            for j in range(blocks - 1):
-                z = CGBlock(self.num_channels[s + 1], self.dilations[s],
-                            self.reductions[s],
-                            name=f'stage{s}_{j}')(z, train)
-            y = jnp.concatenate([z, y2], -1)
-            if s == 0:
-                inj = jax.image.resize(
-                    inp, (inp.shape[0], y.shape[1], y.shape[2],
-                          inp.shape[3]), 'linear')
-                y = jnp.concatenate([y, inj], -1)
-            outs.append(y)
+        # stage 1
+        down1 = None
+        for i in range(self.num_blocks[0]):
+            y = CGBlock(self.num_channels[1], self.dilations[0],
+                        self.reductions[0], downsample=(i == 0),
+                        name=f'level1_{i}')(y, train)
+            if i == 0:
+                down1 = y
+        y = norm_prelu(jnp.concatenate([y, down1, inp_4x], -1), 1)
+        outs.append(y)
+        # stage 2
+        down2 = None
+        for i in range(self.num_blocks[1]):
+            y = CGBlock(self.num_channels[2], self.dilations[1],
+                        self.reductions[1], downsample=(i == 0),
+                        name=f'level2_{i}')(y, train)
+            if i == 0:
+                down2 = y
+        y = norm_prelu(jnp.concatenate([down2, y], -1), 2)
+        outs.append(y)
         outs = tuple(outs[i] for i in self.out_indices)
         if return_attn:
             return outs, ([], None)
         return outs
 
 
+
 # ---------------------------------------------------------------- ERFNet
 class NonBottleneck1d(nn.Module):
-    """(erfnet.py): factorized 3x1/1x3 residual block with dilation."""
+    """(ref erfnet.py:68-145): factorized residual block — [3x1 + ReLU +
+    1x3 + BN + ReLU] then [dilated 3x1 + ReLU + dilated 1x3 + BN +
+    Dropout], ReLU(out + input). All convs BIASED; BN eps 1e-3 (the
+    blocks keep their own norm default — ERFNet never forwards its
+    norm_cfg, ref :195-323)."""
     channels: int
     dilation: int = 1
+    drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -783,19 +824,22 @@ class NonBottleneck1d(nn.Module):
         y = nn.Conv(self.channels, (1, 3), padding=((0, 0), (1, 1)),
                     name='c13a')(y)
         y = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, name='bn1')(y))
+                                 momentum=0.9, epsilon=1e-3, name='bn1')(y))
         y = nn.relu(nn.Conv(self.channels, (3, 1),
                             padding=((d, d), (0, 0)),
                             kernel_dilation=(d, 1), name='c31b')(y))
         y = nn.Conv(self.channels, (1, 3), padding=((0, 0), (d, d)),
                     kernel_dilation=(1, d), name='c13b')(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn2')(y)
+                         epsilon=1e-3, name='bn2')(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
         return nn.relu(y + x)
 
 
 class DownsamplerBlock(nn.Module):
-    """(erfnet.py): stride-2 conv concatenated with max-pool."""
+    """(ref erfnet.py:11-65): stride-2 BIASED conv concat MaxPool(2,2)
+    (bilinear-resized to the conv size when odd), BN eps 1e-3 + ReLU."""
     channels: int
 
     @nn.compact
@@ -804,56 +848,77 @@ class DownsamplerBlock(nn.Module):
         conv = nn.Conv(self.channels - cin, (3, 3), strides=(2, 2),
                        padding=1, name='conv')(x)
         pool = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if pool.shape[1:3] != conv.shape[1:3]:
+            pool = resize_bilinear(pool, conv.shape[1:3], False)
         y = jnp.concatenate([conv, pool], -1)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn')(y)
+                         epsilon=1e-3, name='bn')(y)
         return nn.relu(y)
 
 
 @BACKBONES.register_module()
 class ERFNet(nn.Module):
-    """(erfnet.py:329): encoder (downsamplers + non-bottleneck-1d with
-    dilations) + deconv decoder. Outputs the decoder feature (1/2 input)
-    like the reference (single-element tuple)."""
+    """(ref erfnet.py:195-331): encoder (downsamplers + NonBottleneck1d,
+    last stage cycling through enc_non_bottleneck_dilations) + deconv
+    decoder (torch ConvTranspose2d(3, s2, p1, op1) == flax ConvTranspose
+    padding ((1,2),(1,2))). Outputs the decoder feature (1/2 input) as a
+    single-element tuple."""
     in_channels: int = 3
     enc_downsample_channels: Sequence[int] = (16, 64, 128)
     enc_stage_non_bottlenecks: Sequence[int] = (5, 8)
-    dilations: Sequence[int] = (1, 2, 4, 8, 16)
+    enc_non_bottleneck_dilations: Sequence[int] = (2, 4, 8, 16)
+    enc_non_bottleneck_channels: Sequence[int] = (64, 128)
     dec_upsample_channels: Sequence[int] = (64, 16)
     dec_stages_non_bottleneck: Sequence[int] = (2, 2)
+    dec_non_bottleneck_channels: Sequence[int] = (64, 16)
+    dropout_ratio: float = 0.1
     norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, attn_bias=None,
                  pos_mode: str = 'default', use_fdrop: bool = False,
                  return_attn: bool = False):
+        # encoder module indices mirror the reference's flat
+        # encoder ModuleList for the checkpoint converter
+        idx = 0
         y = DownsamplerBlock(self.enc_downsample_channels[0],
-                             name='down0')(x, train)
-        y = DownsamplerBlock(self.enc_downsample_channels[1],
-                             name='down1')(y, train)
-        for i in range(self.enc_stage_non_bottlenecks[0]):
-            y = NonBottleneck1d(self.enc_downsample_channels[1],
-                                name=f'enc1_{i}')(y, train)
-        y = DownsamplerBlock(self.enc_downsample_channels[2],
-                             name='down2')(y, train)
-        n = self.enc_stage_non_bottlenecks[1]
-        dil = self.dilations
-        for i in range(n):
-            y = NonBottleneck1d(self.enc_downsample_channels[2],
-                                dil[1 + i % (len(dil) - 1)],
-                                name=f'enc2_{i}')(y, train)
-        # decoder: deconv up + non-bottlenecks
-        for s, c in enumerate(self.dec_upsample_channels):
-            # 'SAME' = torch ConvTranspose2d(stride=2, padding=1,
-            # output_padding=1): exact 2x upsample
-            y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), padding='SAME',
-                                 name=f'up{s}')(y)
+                             name=f'encoder_{idx}')(x, train)
+        n_down = len(self.enc_downsample_channels)
+        for i in range(n_down - 1):
+            idx += 1
+            y = DownsamplerBlock(self.enc_downsample_channels[i + 1],
+                                 name=f'encoder_{idx}')(y, train)
+            if i == n_down - 2:
+                times = self.enc_stage_non_bottlenecks[-1] //                     len(self.enc_non_bottleneck_dilations)
+                for _ in range(times):
+                    for dl in self.enc_non_bottleneck_dilations:
+                        idx += 1
+                        y = NonBottleneck1d(
+                            self.enc_downsample_channels[-1], dl,
+                            self.dropout_ratio,
+                            name=f'encoder_{idx}')(y, train)
+            else:
+                for _ in range(self.enc_stage_non_bottlenecks[i]):
+                    idx += 1
+                    y = NonBottleneck1d(
+                        self.enc_downsample_channels[i + 1], 1,
+                        self.dropout_ratio,
+                        name=f'encoder_{idx}')(y, train)
+        idx = 0
+        for s in range(len(self.dec_upsample_channels)):
+            c = self.dec_non_bottleneck_channels[s]
+            y = nn.ConvTranspose(c, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
+                                 name=f'decoder_{idx}_conv')(y)
             y = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                     momentum=0.9, epsilon=1e-5,
-                                     name=f'up{s}_bn')(y))
-            for j in range(self.dec_stages_non_bottleneck[s]):
-                y = NonBottleneck1d(c, name=f'dec{s}_{j}')(y, train)
+                                     momentum=0.9, epsilon=1e-3,
+                                     name=f'decoder_{idx}_bn')(y))
+            idx += 1
+            for _ in range(self.dec_stages_non_bottleneck[s]):
+                y = NonBottleneck1d(c, name=f'decoder_{idx}')(y, train)
+                idx += 1
         if return_attn:
             return (y,), ([], None)
         return (y,)
