@@ -1153,6 +1153,41 @@ def convert_fastscnn_backbone(sd: Dict[str, np.ndarray]
     return p, bs
 
 
+def convert_mobilenet_v3_backbone(sd: Dict[str, np.ndarray]
+                                  ) -> Tuple[Dict, Dict]:
+    """mmseg MobileNetV3 state_dict (keys WITHOUT 'backbone.') -> our
+    mobilenet.MobileNetV3 layout.
+
+    Reference layout (mobilenet_v3.py:130-207): ``layer0``/``layer{N+1}``
+    plain ConvModules; ``layer{i}`` InvertedResidualV3 with
+    ``expand_conv``/``depthwise_conv``/``linear_conv`` ConvModules and
+    biased SE convs at ``se.conv{1,2}.conv``."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while True:
+        li = f'layer{i}'
+        if li + '.conv.weight' in sd:            # stem / final ConvModule
+            p[li], bs[li] = _convmodule(sd, li)
+        elif li + '.depthwise_conv.conv.weight' in sd:
+            for ref, ours in (('expand_conv', f'{li}_expand'),
+                              ('depthwise_conv', f'{li}_dw'),
+                              ('linear_conv', f'{li}_linear')):
+                if f'{li}.{ref}.conv.weight' in sd:
+                    p[ours], bs[ours] = _convmodule(sd, f'{li}.{ref}')
+            for n in (1, 2):
+                key = f'{li}.se.conv{n}.conv'
+                if key + '.weight' in sd:
+                    w = sd[key + '.weight']
+                    p[f'{li}_se{n}'] = {
+                        'kernel': np.transpose(w, (2, 3, 1, 0)),
+                        'bias': sd[key + '.bias']}
+        else:
+            break
+        i += 1
+    return p, bs
+
+
 def convert_erfnet_backbone(sd: Dict[str, np.ndarray]
                             ) -> Tuple[Dict, Dict]:
     """mmseg ERFNet state_dict (keys WITHOUT 'backbone.') -> our
@@ -1714,6 +1749,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_stdc_backbone(bb_sd)
         if 'layer1.0.conv.0.conv.weight' in bb_sd:       # MobileNetV2
             return convert_mobilenet_v2_backbone(bb_sd)
+        if 'layer1.depthwise_conv.conv.weight' in bb_sd:  # MobileNetV3
+            return convert_mobilenet_v3_backbone(bb_sd)
         if 'layer1.0.conv2.conv.weight' in bb_sd:        # ResNeSt SplAt
             return convert_resnest_backbone(bb_sd)
         if 'layer1.0.conv1.weight' in bb_sd or 'stem.0.weight' in bb_sd:

@@ -101,8 +101,9 @@ def test_mobilenet_v2_shapes():
 
 
 def test_mobilenet_v3_runs():
-    outs = _run(dict(type='MobileNetV3', out_indices=(1, 3, 15)),
-                (1, 64, 64, 3))
+    # default arch is 'small' like the reference; 'large' here
+    outs = _run(dict(type='MobileNetV3', arch='large',
+                     out_indices=(1, 3, 15)), (1, 64, 64, 3))
     assert len(outs) == 3
 
 
