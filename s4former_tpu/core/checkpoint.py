@@ -1633,6 +1633,49 @@ def convert_fpn_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_sep_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                         ) -> Tuple[Dict, Dict]:
+    """mmseg DepthwiseSeparableFCNHead (sep_fcn_head.py: every conv a
+    DepthwiseSeparableConvModule) -> zoo_heads.DepthwiseSeparableFCNHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'convs.{i}.depthwise_conv.conv.weight' in sd:
+        p[f'convs_{i}'], bs[f'convs_{i}'] = _sepconvmodule(
+            sd, prefix + f'convs.{i}')
+        i += 1
+    if prefix + 'conv_cat.depthwise_conv.conv.weight' in sd:
+        p['conv_cat'], bs['conv_cat'] = _sepconvmodule(
+            sd, prefix + 'conv_cat')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
+def convert_lraspp_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                        ) -> Tuple[Dict, Dict]:
+    """mmseg LRASPPHead (lraspp_head.py: ``convs.conv{i}`` bias-free skip
+    convs, ``conv_ups.conv_up{i}`` ConvModules, biased ``conv_up_input``,
+    ``aspp_conv`` ConvModule, ``image_pool.1`` bias-free no-norm conv)
+    -> zoo_heads.LRASPPHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'convs.conv{i}.weight' in sd:
+        w = sd[prefix + f'convs.conv{i}.weight']
+        p[f'convs_{i}'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        p[f'conv_ups_{i}'], bs[f'conv_ups_{i}'] = _convmodule(
+            sd, prefix + f'conv_ups.conv_up{i}')
+        i += 1
+    w = sd[prefix + 'conv_up_input.weight']
+    p['conv_up_input'] = {'kernel': np.transpose(w, (2, 3, 1, 0)),
+                          'bias': sd[prefix + 'conv_up_input.bias']}
+    p['aspp_conv'], bs['aspp_conv'] = _convmodule(sd, prefix + 'aspp_conv')
+    w = sd[prefix + 'image_pool.1.conv.weight']
+    p['image_pool_conv'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_ocr_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg OCRHead (ocr_head.py:85-130) -> misc_heads.OCRHead.
@@ -1797,7 +1840,11 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_ocr_head(hd)
         if 'cca.query_conv.weight' in hd:        # CCHead (before FCN)
             return convert_cc_head(hd)
-        if 'convs.0.conv.weight' in hd:          # FCNHead
+        if 'convs.0.depthwise_conv.conv.weight' in hd:  # sep-FCN
+            return convert_sep_fcn_head(hd)
+        if 'conv_up_input.weight' in hd:         # LRASPP
+            return convert_lraspp_head(hd)
+        if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)
 

@@ -85,11 +85,14 @@ def _adaptive_pool(x: Array, s: int) -> Array:
 
 
 class SepConvBNReLU(nn.Module):
-    """DepthwiseSeparableConvModule (mmcv): depthwise 3x3 + BN + ReLU then
-    pointwise 1x1 + BN + ReLU."""
+    """DepthwiseSeparableConvModule (mmcv): depthwise 3x3 + BN (+ ReLU
+    unless ``dw_act=False`` — callers passing the reference's
+    ``dw_act_cfg=None``, e.g. sep_fcn_head.py) then pointwise 1x1 + BN +
+    ReLU."""
     out_channels: int
     kernel_size: int = 3
     dilation: int = 1
+    dw_act: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -101,7 +104,8 @@ class SepConvBNReLU(nn.Module):
                     name='depthwise')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='dw_bn')(x)
-        x = nn.relu(x)
+        if self.dw_act:
+            x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     name='pointwise')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -209,10 +213,13 @@ class DepthwiseSeparableFCNHead(_HeadBase):
                  patchmix_n: int = 0, return_last_feat: bool = False):
         x = self._pick(inputs, patchmix_perm, patchmix_n)
         inp = x
+        # ref sep_fcn_head.py passes dw_act_cfg=None: depthwise BN-only
         for i in range(self.num_convs):
-            x = SepConvBNReLU(self.channels, 3, name=f'convs_{i}')(x, train)
+            x = SepConvBNReLU(self.channels, 3, dw_act=False,
+                              name=f'convs_{i}')(x, train)
         if self.concat_input:
-            x = SepConvBNReLU(self.channels, 3, name='conv_cat')(
+            x = SepConvBNReLU(self.channels, 3, dw_act=False,
+                              name='conv_cat')(
                 jnp.concatenate([inp, x], -1), train)
         return self._cls(x, train, return_last_feat)
 
@@ -603,14 +610,21 @@ class LRASPPHead(_HeadBase):
         feats = [inputs[i] for i in self.in_index] \
             if isinstance(inputs, (list, tuple)) else [inputs]
         x = feats[-1]
-        y = ConvBNReLU(self.channels, 1, name='aspp_conv')(x, train)
-        gate = nn.sigmoid(nn.Conv(self.channels, (1, 1), name='image_pool')(
-            jnp.mean(x, axis=(1, 2), keepdims=True)))
-        y = y * gate
-        for i, f in enumerate(reversed(feats[:-1])):
-            bc = self.branch_channels[min(i, len(self.branch_channels) - 1)]
-            y = resize_bilinear(y, f.shape[1:3], self.align_corners)
-            skip = nn.Conv(bc, (1, 1), name=f'convs_{i}')(f)
+        # ref lraspp_head.py:60-80: the gate is AvgPool2d(49, (16, 20))
+        # -> bias-free 1x1 (NO norm) -> sigmoid, bilinear back to x.
+        # The window clamps to the feature size for sub-49px inputs
+        # (where the reference's pool simply errors).
+        k = (min(49, x.shape[1]), min(49, x.shape[2]))
+        gate = nn.avg_pool(x, k, strides=(16, 20))
+        gate = nn.sigmoid(nn.Conv(self.channels, (1, 1), use_bias=False,
+                                  name='image_pool_conv')(gate))
+        gate = resize_bilinear(gate, x.shape[1:3], self.align_corners)
+        y = ConvBNReLU(self.channels, 1, name='aspp_conv')(x, train) * gate
+        y = nn.Conv(self.channels, (1, 1), name='conv_up_input')(y)
+        for i in range(len(self.branch_channels) - 1, -1, -1):
+            y = resize_bilinear(y, feats[i].shape[1:3], self.align_corners)
+            skip = nn.Conv(self.branch_channels[i], (1, 1), use_bias=False,
+                           name=f'convs_{i}')(feats[i])
             y = ConvBNReLU(self.channels, 1, name=f'conv_ups_{i}')(
                 jnp.concatenate([y, skip], -1), train)
         return self._cls(y, train, return_last_feat)

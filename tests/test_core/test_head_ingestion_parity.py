@@ -308,6 +308,96 @@ def test_fpn_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_sep_fcn_head_ingestion_parity():
+    """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
+    every depthwise conv is BN-only."""
+    from s4former_tpu.core.checkpoint import convert_sep_fcn_head
+    torch.manual_seed(12)
+    cin = 12
+
+    class SepNoDwAct(TorchSepConvModule):
+        def forward(self, x):
+            return self.pointwise_conv(
+                self.depthwise_conv.bn(self.depthwise_conv.conv(x)))
+
+    convs = torch.nn.ModuleList([SepNoDwAct(cin, CH, 3),
+                                 SepNoDwAct(CH, CH, 3)])
+    conv_cat = SepNoDwAct(cin + CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'convs.{i}')
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (*convs, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(12)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        y = convs[1](convs[0](x))
+        y = conv_cat(torch.cat([x, y], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='DepthwiseSeparableFCNHead', in_channels=cin,
+                      channels=CH, num_classes=NCLS, num_convs=2,
+                      concat_input=True, in_index=0, dropout_ratio=0),
+                 convert_sep_fcn_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lraspp_head_ingestion_parity():
+    """LRASPPHead (lraspp_head.py): AvgPool(49, (16,20)) sigmoid gate,
+    bias-free skip convs, biased conv_up_input."""
+    from s4former_tpu.core.checkpoint import convert_lraspp_head
+    torch.manual_seed(13)
+    cins, bcs, ch = (6, 8, 12), (3, 4), 8
+    convs = torch.nn.ModuleList(
+        torch.nn.Conv2d(cins[i], bcs[i], 1, bias=False) for i in range(2))
+    conv_ups = torch.nn.ModuleList(
+        TorchConvModule(ch + bcs[i], ch, 1) for i in range(2))
+    conv_up_input = torch.nn.Conv2d(ch, ch, 1)
+    aspp_conv = TorchConvModule(cins[-1], ch, 1)
+    pool_conv = torch.nn.Conv2d(cins[-1], ch, 1, bias=False)
+    conv_seg = torch.nn.Conv2d(ch, NCLS, 1)
+    sd = {}
+    for i in range(2):
+        sd[f'convs.conv{i}.weight'] = convs[i].weight
+        conv_ups[i].dump(sd, f'conv_ups.conv_up{i}')
+    sd['conv_up_input.weight'] = conv_up_input.weight
+    sd['conv_up_input.bias'] = conv_up_input.bias
+    aspp_conv.dump(sd, 'aspp_conv')
+    sd['image_pool.1.conv.weight'] = pool_conv.weight
+    _seg(sd, conv_seg)
+
+    for m in (*convs, *conv_ups, conv_up_input, aspp_conv, pool_conv,
+              conv_seg):
+        m.eval()
+    rng = np.random.RandomState(13)
+    feats = [rng.randn(1, hw[0], hw[1], c).astype(np.float32)
+             for hw, c in zip(((256, 280), (128, 140), (64, 70)), cins)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        x = xs[-1]
+        gate = torch.sigmoid(pool_conv(F.avg_pool2d(x, 49, (16, 20))))
+        gate = F.interpolate(gate, size=x.shape[2:], mode='bilinear',
+                             align_corners=False)
+        y = aspp_conv(x) * gate
+        y = conv_up_input(y)
+        for i in (1, 0):
+            y = F.interpolate(y, size=xs[i].shape[2:], mode='bilinear',
+                              align_corners=False)
+            y = conv_ups[i](torch.cat([y, convs[i](xs[i])], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='LRASPPHead', in_channels=cins, channels=ch,
+                      branch_channels=bcs, num_classes=NCLS,
+                      in_index=(0, 1, 2), dropout_ratio=0),
+                 convert_lraspp_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 class TorchOCRHead(torch.nn.Module):
     """mmseg OCRHead oracle (ocr_head.py:85-130 + SpatialGatherModule +
     ObjectAttentionBlock on utils/self_attention_block.py)."""
