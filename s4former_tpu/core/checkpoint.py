@@ -1633,6 +1633,69 @@ def convert_fpn_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def _biased_conv(sd, key):
+    w = sd[key + '.weight']
+    out = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+    if key + '.bias' in sd:
+        out['bias'] = sd[key + '.bias']
+    return out
+
+
+def _nonlocal_block(sd, pre):
+    """mmcv NonLocal2d subtree -> our NonLocal2d / DNL _block names."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for name in ('theta', 'phi', 'g'):
+        p[name] = _biased_conv(sd, pre + name + '.conv')
+    p['conv_out'] = {'kernel': np.transpose(
+        sd[pre + 'conv_out.conv.weight'], (2, 3, 1, 0))}
+    p['bn_out'] = {'scale': sd[pre + 'conv_out.bn.weight'],
+                   'bias': sd[pre + 'conv_out.bn.bias']}
+    bs['bn_out'] = {'mean': sd[pre + 'conv_out.bn.running_mean'],
+                    'var': sd[pre + 'conv_out.bn.running_var']}
+    if pre + 'conv_mask.weight' in sd:           # DNL unary branch
+        p['conv_mask'] = _biased_conv(sd, pre + 'conv_mask')
+    return p, bs
+
+
+def convert_nl_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg NLHead / DNLHead (nl_head.py / dnl_head.py: FCNHead
+    num_convs=2 with an (disentangled) non-local block between the
+    convs) -> zoo_heads.{NLHead,DNLHead}. The DNL variant's block params
+    land directly on the head (its _block is inline), the NL variant's
+    under ``nl_block``."""
+    p, bs = convert_fcn_head(sd, prefix)
+    if prefix + 'dnl_block.theta.conv.weight' in sd:
+        bp, bb = _nonlocal_block(sd, prefix + 'dnl_block.')
+        p.update(bp)
+        bs.update(bb)
+    elif prefix + 'nl_block.theta.conv.weight' in sd:
+        p['nl_block'], bs['nl_block'] = _nonlocal_block(
+            sd, prefix + 'nl_block.')
+    return p, bs
+
+
+def convert_gc_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg GCHead (gc_head.py + mmcv ContextBlock: conv_mask +
+    channel_add_conv Sequential [conv, LN([c,1,1]), ReLU, conv]) ->
+    zoo_heads.GCHead."""
+    p, bs = convert_fcn_head(sd, prefix)
+    g = prefix + 'gc_block.'
+    p['conv_mask'] = _biased_conv(sd, g + 'conv_mask')
+    w0 = sd[g + 'channel_add_conv.0.weight']     # [ci, C, 1, 1]
+    p['add_conv_0'] = {'kernel': w0[:, :, 0, 0].T,
+                       'bias': sd[g + 'channel_add_conv.0.bias']}
+    p['add_ln'] = {
+        'scale': sd[g + 'channel_add_conv.1.weight'].reshape(-1),
+        'bias': sd[g + 'channel_add_conv.1.bias'].reshape(-1)}
+    w1 = sd[g + 'channel_add_conv.3.weight']
+    p['add_conv_1'] = {'kernel': w1[:, :, 0, 0].T,
+                       'bias': sd[g + 'channel_add_conv.3.bias']}
+    return p, bs
+
+
 def convert_sep_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg DepthwiseSeparableFCNHead (sep_fcn_head.py: every conv a
@@ -1844,6 +1907,11 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_sep_fcn_head(hd)
         if 'conv_up_input.weight' in hd:         # LRASPP
             return convert_lraspp_head(hd)
+        if 'nl_block.theta.conv.weight' in hd or \
+                'dnl_block.theta.conv.weight' in hd:  # NL / DNL
+            return convert_nl_head(hd)
+        if 'gc_block.conv_mask.weight' in hd:    # GCNet
+            return convert_gc_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)

@@ -226,8 +226,12 @@ class DepthwiseSeparableFCNHead(_HeadBase):
 
 # ------------------------------------------------------- non-local family
 class NonLocal2d(nn.Module):
-    """mmcv NonLocal2d (embedded gaussian): y = x + Wz(softmax(QK^T)V)."""
+    """mmcv NonLocal2d, embedded_gaussian (non_local.py): biased 1x1
+    g/theta/phi projections (no norm), bias-free conv_out + BN (no act),
+    pairwise scaled by 1/sqrt(inter) when ``use_scale``; y = x +
+    conv_out(softmax(theta phi^T) g)."""
     reduction: int = 2
+    use_scale: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -236,108 +240,119 @@ class NonLocal2d(nn.Module):
         q = nn.Conv(ci, (1, 1), name='theta')(x).reshape(b, h * w, ci)
         k = nn.Conv(ci, (1, 1), name='phi')(x).reshape(b, h * w, ci)
         v = nn.Conv(ci, (1, 1), name='g')(x).reshape(b, h * w, ci)
-        attn = jax.nn.softmax(
-            jnp.einsum('bqc,bkc->bqk', q, k), axis=-1)
+        sim = jnp.einsum('bqc,bkc->bqk', q, k)
+        if self.use_scale:
+            sim = sim / jnp.sqrt(float(ci))
+        attn = jax.nn.softmax(sim, axis=-1)
         y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
-        y = nn.Conv(c, (1, 1), name='conv_out')(y)
+        y = nn.Conv(c, (1, 1), use_bias=False, name='conv_out')(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='bn_out')(y)
         return x + y
 
 
-@HEADS.register_module()
-@_head_fields
-class NLHead(_HeadBase):
-    """(nl_head.py): conv -> non-local block -> conv -> classifier."""
+class _FCNScaffold(_HeadBase):
+    """FCNHead(num_convs=2) scaffolding shared by NL/GC/DNL heads:
+    convs_0 -> block -> convs_1 (+ conv_cat on [input, out]) -> cls_seg
+    (ref fcn_head.py via nl_head.py:41-49)."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
-    reduction: int = 2
+    concat_input: bool = True
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
+
+    def _block(self, y, train):
+        raise NotImplementedError
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
         x = self._pick(inputs, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
-        x = NonLocal2d(self.reduction, name='nl_block')(x, train)
-        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
-        return self._cls(x, train, return_last_feat)
+        y = ConvBNReLU(self.channels, 3, name='convs_0')(x, train)
+        y = self._block(y, train)
+        y = ConvBNReLU(self.channels, 3, name='convs_1')(y, train)
+        if self.concat_input:
+            y = ConvBNReLU(self.channels, 3, name='conv_cat')(
+                jnp.concatenate([x, y], -1), train)
+        return self._cls(y, train, return_last_feat)
 
 
 @HEADS.register_module()
 @_head_fields
-class GCHead(_HeadBase):
-    """(gc_head.py): GCNet global-context block added to FCN."""
-    in_channels: int = 2048
-    channels: int = 512
-    num_classes: int = 21
+class NLHead(_FCNScaffold):
+    """(nl_head.py:9-49): FCNHead(num_convs=2) with an mmcv NonLocal2d
+    between the convs."""
+    reduction: int = 2
+    use_scale: bool = True
+    mode: str = 'embedded_gaussian'
+
+    def _block(self, y, train):
+        return NonLocal2d(self.reduction, self.use_scale,
+                          name='nl_block')(y, train)
+
+
+@HEADS.register_module()
+@_head_fields
+class GCHead(_FCNScaffold):
+    """(gc_head.py:9-47 + mmcv ContextBlock): attention-pooled global
+    context, channel_add fusion through conv -> LN([planes,1,1]) ->
+    ReLU -> conv."""
     ratio: float = 0.25
-    in_index: Union[int, Sequence[int]] = -1
-    input_transform: Optional[str] = None
+    pooling_type: str = 'att'
+    fusion_types: Sequence[str] = ('channel_add',)
 
-    @nn.compact
-    def __call__(self, inputs, *, train: bool = False,
-                 patchmix_perm: Optional[Array] = None,
-                 patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
-        b, h, w, c = x.shape
-        # context modeling: softmax attention pooling over HW
-        mask = nn.Conv(1, (1, 1), name='conv_mask')(x).reshape(b, h * w)
-        mask = jax.nn.softmax(mask, axis=-1)
-        context = jnp.einsum('bp,bpc->bc', mask, x.reshape(b, h * w, c))
-        # transform: 1x1 -> LN -> ReLU -> 1x1 (channel add fusion)
+    def _block(self, y, train):
+        b, h, w, c = y.shape
+        if self.pooling_type == 'att':
+            mask = nn.Conv(1, (1, 1), name='conv_mask')(y)
+            mask = jax.nn.softmax(mask.reshape(b, h * w), axis=-1)
+            context = jnp.einsum('bp,bpc->bc', mask,
+                                 y.reshape(b, h * w, c))
+        else:
+            context = jnp.mean(y, axis=(1, 2))
         ci = max(int(c * self.ratio), 1)
-        t = nn.Dense(ci, name='transform_in')(context)
-        t = nn.LayerNorm(name='transform_ln')(t)
-        t = nn.relu(t)
-        t = nn.Dense(c, name='transform_out')(t)
-        x = x + t[:, None, None, :]
-        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
-        return self._cls(x, train, return_last_feat)
+        t = nn.Dense(ci, name='add_conv_0')(context)
+        t = nn.LayerNorm(name='add_ln')(t)
+        t = nn.Dense(c, name='add_conv_1')(nn.relu(t))
+        return y + t[:, None, None, :]
 
 
 @HEADS.register_module()
 @_head_fields
-class DNLHead(_HeadBase):
-    """(dnl_head.py): disentangled non-local = whitened pairwise term +
-    unary term."""
-    in_channels: int = 2048
-    channels: int = 512
-    num_classes: int = 21
+class DNLHead(_FCNScaffold):
+    """(dnl_head.py:10-120): disentangled non-local — mean-subtracted
+    theta/phi, pairwise scaled by 1/sqrt(inter) AND 1/temperature, plus
+    a softmax unary branch; out = x + conv_out(pairwise@g + unary@g)."""
     reduction: int = 2
-    in_index: Union[int, Sequence[int]] = -1
-    input_transform: Optional[str] = None
+    use_scale: bool = True
+    mode: str = 'embedded_gaussian'
+    temperature: float = 0.05
 
-    @nn.compact
-    def __call__(self, inputs, *, train: bool = False,
-                 patchmix_perm: Optional[Array] = None,
-                 patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+    def _block(self, x, train):
         b, h, w, c = x.shape
         ci = max(c // self.reduction, 1)
         q = nn.Conv(ci, (1, 1), name='theta')(x).reshape(b, h * w, ci)
         k = nn.Conv(ci, (1, 1), name='phi')(x).reshape(b, h * w, ci)
         v = nn.Conv(ci, (1, 1), name='g')(x).reshape(b, h * w, ci)
-        # disentangle: whiten q/k (subtract their means over positions)
         q = q - jnp.mean(q, axis=1, keepdims=True)
         k = k - jnp.mean(k, axis=1, keepdims=True)
-        pairwise = jax.nn.softmax(jnp.einsum('bqc,bkc->bqk', q, k), -1)
+        sim = jnp.einsum('bqc,bkc->bqk', q, k)
+        if self.use_scale:
+            sim = sim / jnp.sqrt(float(ci))
+        sim = sim / self.temperature
+        pairwise = jax.nn.softmax(sim, -1)
         unary = jax.nn.softmax(
             nn.Conv(1, (1, 1), name='conv_mask')(x).reshape(b, 1, h * w),
             axis=-1)
-        attn = pairwise + unary              # broadcast unary to all rows
-        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
-        y = nn.Conv(c, (1, 1), name='conv_out_nl')(y)
+        # (pairwise + broadcast unary) @ g == pairwise@g + unary@g
+        y = jnp.einsum('bqk,bkc->bqc', pairwise + unary, v)
+        y = y.reshape(b, h, w, ci)
+        y = nn.Conv(c, (1, 1), use_bias=False, name='conv_out')(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='bn_out')(y)
-        x = x + y
-        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
-        return self._cls(x, train, return_last_feat)
+        return x + y
 
 
 @HEADS.register_module()

@@ -13,6 +13,7 @@ reproduces exactly (the old truncating pool dropped them).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -306,6 +307,152 @@ def test_fpn_head_ingestion_parity():
                       in_index=(0, 1, 2, 3), dropout_ratio=0),
                  convert_fpn_head, _np_sd(sd), feats)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TorchNonLocal(torch.nn.Module):
+    """mmcv NonLocal2d embedded_gaussian (+ DNL extras when dnl=True)."""
+
+    def __init__(self, c, reduction=2, dnl=False, temperature=0.05):
+        super().__init__()
+        ci = c // reduction
+        self.ci, self.dnl, self.t = ci, dnl, temperature
+        self.theta = torch.nn.Conv2d(c, ci, 1)
+        self.phi = torch.nn.Conv2d(c, ci, 1)
+        self.g = torch.nn.Conv2d(c, ci, 1)
+        self.conv_out = torch.nn.Conv2d(ci, c, 1, bias=False)
+        self.bn = torch.nn.BatchNorm2d(c)
+        with torch.no_grad():
+            self.bn.running_mean.normal_(0, 0.3)
+            self.bn.running_var.uniform_(0.5, 2.0)
+        if dnl:
+            self.conv_mask = torch.nn.Conv2d(c, 1, 1)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = self.theta(x).view(n, self.ci, -1).permute(0, 2, 1)
+        k = self.phi(x).view(n, self.ci, -1)
+        v = self.g(x).view(n, self.ci, -1).permute(0, 2, 1)
+        if self.dnl:
+            q = q - q.mean(dim=-2, keepdim=True)
+            k = k - k.mean(dim=-1, keepdim=True)
+        sim = torch.matmul(q, k) / self.ci ** 0.5
+        if self.dnl:
+            sim = sim / self.t
+        attn = sim.softmax(dim=-1)
+        y = torch.matmul(attn, v)
+        if self.dnl:
+            unary = self.conv_mask(x).view(n, 1, -1).softmax(dim=-1)
+            y = y + torch.matmul(unary, v)
+        y = y.permute(0, 2, 1).reshape(n, self.ci, h, w)
+        return x + self.bn(self.conv_out(y))
+
+    def dump(self, sd, pre):
+        for nm, m in (('theta', self.theta), ('phi', self.phi),
+                      ('g', self.g)):
+            sd[pre + nm + '.conv.weight'] = m.weight
+            sd[pre + nm + '.conv.bias'] = m.bias
+        sd[pre + 'conv_out.conv.weight'] = self.conv_out.weight
+        for a in ('weight', 'bias', 'running_mean', 'running_var'):
+            sd[f'{pre}conv_out.bn.{a}'] = getattr(self.bn, a)
+        if self.dnl:
+            sd[pre + 'conv_mask.weight'] = self.conv_mask.weight
+            sd[pre + 'conv_mask.bias'] = self.conv_mask.bias
+
+
+def _fcn_scaffold_ref(x, convs, block, conv_cat, conv_seg):
+    y = convs[0](x)
+    y = block(y)
+    y = convs[1](y)
+    y = conv_cat(torch.cat([x, y], 1))
+    return conv_seg(y)
+
+
+@pytest.mark.parametrize('kind', ['nl', 'dnl'])
+def test_nl_dnl_head_ingestion_parity(kind):
+    from s4former_tpu.core.checkpoint import convert_nl_head
+    torch.manual_seed(14)
+    cin = 12
+    convs = torch.nn.ModuleList([TorchConvModule(cin, CH, 3),
+                                 TorchConvModule(CH, CH, 3)])
+    block = TorchNonLocal(CH, dnl=(kind == 'dnl')).eval()
+    conv_cat = TorchConvModule(cin + CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'convs.{i}')
+    block.dump(sd, f'{kind}_block.')
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (*convs, block, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(14)
+    feat = rng.randn(2, 9, 7, cin).astype(np.float32)
+    with torch.no_grad():
+        ref = _fcn_scaffold_ref(
+            torch.from_numpy(feat).permute(0, 3, 1, 2), convs, block,
+            conv_cat, conv_seg).permute(0, 2, 3, 1).numpy()
+
+    head_type = 'NLHead' if kind == 'nl' else 'DNLHead'
+    got = _apply(dict(type=head_type, in_channels=cin, channels=CH,
+                      num_classes=NCLS, concat_input=True, in_index=0,
+                      dropout_ratio=0),
+                 convert_nl_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gc_head_ingestion_parity():
+    from s4former_tpu.core.checkpoint import convert_gc_head
+    torch.manual_seed(15)
+    cin, ratio_ch = 12, 2
+    convs = torch.nn.ModuleList([TorchConvModule(cin, CH, 3),
+                                 TorchConvModule(CH, CH, 3)])
+    conv_mask = torch.nn.Conv2d(CH, 1, 1)
+    add0 = torch.nn.Conv2d(CH, ratio_ch, 1)
+    ln = torch.nn.LayerNorm([ratio_ch, 1, 1])
+    add1 = torch.nn.Conv2d(ratio_ch, CH, 1)
+    conv_cat = TorchConvModule(cin + CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    with torch.no_grad():
+        ln.weight.normal_(1, 0.2)
+        ln.bias.normal_(0, 0.2)
+
+    def block(y):
+        n, c, h, w = y.shape
+        mask = conv_mask(y).view(n, 1, h * w).softmax(dim=-1)
+        ctx = torch.matmul(y.view(n, 1, c, h * w),
+                           mask.unsqueeze(-1)).view(n, c, 1, 1)
+        t = add1(F.relu(ln(add0(ctx))))
+        return y + t
+
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'convs.{i}')
+    sd['gc_block.conv_mask.weight'] = conv_mask.weight
+    sd['gc_block.conv_mask.bias'] = conv_mask.bias
+    sd['gc_block.channel_add_conv.0.weight'] = add0.weight
+    sd['gc_block.channel_add_conv.0.bias'] = add0.bias
+    sd['gc_block.channel_add_conv.1.weight'] = ln.weight
+    sd['gc_block.channel_add_conv.1.bias'] = ln.bias
+    sd['gc_block.channel_add_conv.3.weight'] = add1.weight
+    sd['gc_block.channel_add_conv.3.bias'] = add1.bias
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (*convs, conv_mask, add0, ln, add1, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(15)
+    feat = rng.randn(2, 9, 7, cin).astype(np.float32)
+    with torch.no_grad():
+        ref = _fcn_scaffold_ref(
+            torch.from_numpy(feat).permute(0, 3, 1, 2), convs, block,
+            conv_cat, conv_seg).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='GCHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, ratio=ratio_ch / CH,
+                      concat_input=True, in_index=0, dropout_ratio=0),
+                 convert_gc_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_sep_fcn_head_ingestion_parity():
