@@ -1696,6 +1696,60 @@ def convert_gc_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_apc_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg APCHead (apc_head.py: acm_modules.{i} with pooled/input
+    redu ConvModules, biased gla conv, global_info, residual/fusion
+    convs) -> zoo_heads.APCHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'acm_modules.{i}.gla.weight' in sd:
+        pre = prefix + f'acm_modules.{i}.'
+        for ref, ours in (('pooled_redu_conv', f'acm_{i}_pooled_redu'),
+                          ('input_redu_conv', f'acm_{i}_input_redu'),
+                          ('global_info', f'acm_{i}_global'),
+                          ('residual_conv', f'acm_{i}_residual'),
+                          ('fusion_conv', f'acm_{i}_fusion')):
+            if pre + ref + '.conv.weight' in sd:
+                p[ours], bs[ours] = _convmodule(sd, pre + ref)
+        p[f'acm_{i}_gla'] = _biased_conv(sd, pre + 'gla')
+        i += 1
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['bottleneck'], bs['bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
+def convert_dm_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg DMHead (dm_head.py: dcm_modules.{i} with biased
+    filter_gen_conv, input_redu ConvModule, standalone BN ``norm``,
+    optional fusion conv) -> zoo_heads.DMHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'dcm_modules.{i}.filter_gen_conv.weight' in sd:
+        pre = prefix + f'dcm_modules.{i}.'
+        p[f'dcm_{i}_filter_gen'] = _biased_conv(sd, pre + 'filter_gen_conv')
+        p[f'dcm_{i}_input_redu'], bs[f'dcm_{i}_input_redu'] = _convmodule(
+            sd, pre + 'input_redu_conv')
+        p[f'dcm_{i}_norm'] = {'scale': sd[pre + 'norm.weight'],
+                              'bias': sd[pre + 'norm.bias']}
+        bs[f'dcm_{i}_norm'] = {'mean': sd[pre + 'norm.running_mean'],
+                               'var': sd[pre + 'norm.running_var']}
+        if pre + 'fusion_conv.conv.weight' in sd:
+            p[f'dcm_{i}_fusion'], bs[f'dcm_{i}_fusion'] = _convmodule(
+                sd, pre + 'fusion_conv')
+        i += 1
+    if prefix + 'bottleneck.conv.weight' in sd:
+        p['bottleneck'], bs['bottleneck'] = _convmodule(
+            sd, prefix + 'bottleneck')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_sep_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg DepthwiseSeparableFCNHead (sep_fcn_head.py: every conv a
@@ -1912,6 +1966,10 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_nl_head(hd)
         if 'gc_block.conv_mask.weight' in hd:    # GCNet
             return convert_gc_head(hd)
+        if 'acm_modules.0.gla.weight' in hd:     # APCNet
+            return convert_apc_head(hd)
+        if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
+            return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
             return convert_fcn_head(hd)
         return convert_setr_up_head(hd)

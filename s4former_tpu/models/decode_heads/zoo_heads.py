@@ -403,12 +403,16 @@ class ANNHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class APCHead(_HeadBase):
-    """(apc_head.py): Adaptive Context Modules — per-scale affinity between
-    pixels and pooled region centers."""
+    """(ref apc_head.py:11-160), exact ACM structure: pooled_redu_conv /
+    input_redu_conv 1x1 ConvModules, GLA = biased 1x1 on
+    x + broadcast(global_info(GAP(x))) with SIGMOID affinities,
+    residual_conv + relu(z + x) + fusion_conv; head concatenates the RAW
+    input with every ACM output into a 3x3 bottleneck."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
     pool_scales: Sequence[int] = (1, 2, 3, 6)
+    fusion: bool = True
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
 
@@ -416,19 +420,30 @@ class APCHead(_HeadBase):
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        b, h, w, _ = x.shape
-        branches = [x]
+        raw = self._pick(inputs, patchmix_perm, patchmix_n)
+        b = raw.shape[0]
+        branches = [raw]
         for i, s in enumerate(self.pool_scales):
-            centers = _adaptive_pool(x, s)                    # [B,s,s,C]
-            centers = ConvBNReLU(self.channels, 1,
-                                 name=f'acm_center_{i}')(centers, train)
-            affinity = nn.Conv(s * s, (1, 1),
-                               name=f'acm_affinity_{i}')(x)   # [B,h,w,s*s]
-            affinity = jax.nn.softmax(affinity, axis=-1)
-            ctx = jnp.einsum('bhwk,bkc->bhwc', affinity,
-                             centers.reshape(b, s * s, self.channels))
-            branches.append(ctx)
+            pooled = _adaptive_pool(raw, s)
+            pooled = ConvBNReLU(self.channels, 1,
+                                name=f'acm_{i}_pooled_redu')(pooled, train)
+            x = ConvBNReLU(self.channels, 1,
+                           name=f'acm_{i}_input_redu')(raw, train)
+            gi = ConvBNReLU(self.channels, 1, name=f'acm_{i}_global')(
+                jnp.mean(x, axis=(1, 2), keepdims=True), train)
+            aff = nn.Conv(s * s, (1, 1), name=f'acm_{i}_gla')(x + gi)
+            aff = nn.sigmoid(aff)                         # [B,h,w,s*s]
+            z = jnp.einsum('bhwk,bkc->bhwc', aff,
+                           pooled.reshape(b, s * s, self.channels))
+            # residual_conv is a full ConvModule (conv+BN+ReLU), then a
+            # second ReLU on the sum (ref apc_head.py:100-103)
+            z = ConvBNReLU(self.channels, 1,
+                           name=f'acm_{i}_residual')(z, train)
+            z = nn.relu(z + x)
+            if self.fusion:
+                z = ConvBNReLU(self.channels, 1,
+                               name=f'acm_{i}_fusion')(z, train)
+            branches.append(z)
         x = ConvBNReLU(self.channels, 3, name='bottleneck')(
             jnp.concatenate(branches, -1), train)
         return self._cls(x, train, return_last_feat)
@@ -437,12 +452,16 @@ class APCHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class DMHead(_HeadBase):
-    """(dm_head.py): Dynamic Convolutional Modules — filters generated by
-    adaptive pooling, applied as per-scale depthwise context."""
+    """(ref dm_head.py:11-152), exact DCM structure: dynamic per-channel
+    filters from filter_gen_conv(adaptive_pool(raw, fs)) applied as
+    grouped CORRELATION with the reference's left-heavy padding on even
+    filter sizes, BN + ReLU, fusion conv; head concatenates the RAW
+    input with every DCM output into a 3x3 bottleneck."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
     filter_sizes: Sequence[int] = (1, 3, 5, 7)
+    fusion: bool = False
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
 
@@ -450,27 +469,34 @@ class DMHead(_HeadBase):
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        branches = [x]
+        raw = self._pick(inputs, patchmix_perm, patchmix_n)
+        b = raw.shape[0]
+        branches = [raw]
         for i, fs in enumerate(self.filter_sizes):
-            y = ConvBNReLU(self.channels, 1, name=f'dcm_reduce_{i}')(
-                x, train)
-            # dynamic filter = fs x fs adaptive pool of y (per sample);
-            # apply as depthwise correlation via einsum over the window
-            filt = _adaptive_pool(y, fs)                      # [B,fs,fs,C]
-            pad = fs // 2
-            yp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            filt = nn.Conv(self.channels, (1, 1),
+                           name=f'dcm_{i}_filter_gen')(
+                               _adaptive_pool(raw, fs))  # [B,fs,fs,C]
+            y = ConvBNReLU(self.channels, 1,
+                           name=f'dcm_{i}_input_redu')(raw, train)
+            pad = (fs - 1) // 2
+            lo, hi = (pad, pad) if (fs - 1) % 2 == 0 else (pad + 1, pad)
+            yp = jnp.pad(y, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
             patches = jnp.stack([
-                yp[:, a:a + y.shape[1], bb:bb + y.shape[2]]
-                for a in range(fs) for bb in range(fs)], axis=-2)
+                yp[:, a:a + y.shape[1], c0:c0 + y.shape[2]]
+                for a in range(fs) for c0 in range(fs)], axis=-2)
             ctx = jnp.einsum('bhwkc,bkc->bhwc', patches,
-                             filt.reshape(filt.shape[0], fs * fs, -1))
+                             filt.reshape(b, fs * fs, self.channels))
             ctx = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, name=f'dcm_bn_{i}')(ctx)
-            branches.append(nn.relu(ctx))
+                               epsilon=1e-5, name=f'dcm_{i}_norm')(ctx)
+            ctx = nn.relu(ctx)
+            if self.fusion:
+                ctx = ConvBNReLU(self.channels, 1,
+                                 name=f'dcm_{i}_fusion')(ctx, train)
+            branches.append(ctx)
         x = ConvBNReLU(self.channels, 3, name='bottleneck')(
             jnp.concatenate(branches, -1), train)
         return self._cls(x, train, return_last_feat)
+
 
 
 @HEADS.register_module()

@@ -455,6 +455,129 @@ def test_gc_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_apc_head_ingestion_parity():
+    """APCHead (apc_head.py:11-160): SIGMOID affinities over adaptive
+    region centers with a broadcast global-info term."""
+    from s4former_tpu.core.checkpoint import convert_apc_head
+    torch.manual_seed(16)
+    cin, scales = 12, (1, 2, 3)
+    acms = []
+    sd = {}
+    for i, s in enumerate(scales):
+        mods = dict(
+            pooled=TorchConvModule(cin, CH, 1),
+            inp=TorchConvModule(cin, CH, 1),
+            glob=TorchConvModule(CH, CH, 1),
+            gla=torch.nn.Conv2d(CH, s * s, 1),
+            residual=TorchConvModule(CH, CH, 1),
+            fusion=TorchConvModule(CH, CH, 1))
+        acms.append((s, mods))
+        pre = f'acm_modules.{i}.'
+        mods['pooled'].dump(sd, pre + 'pooled_redu_conv')
+        mods['inp'].dump(sd, pre + 'input_redu_conv')
+        mods['glob'].dump(sd, pre + 'global_info')
+        sd[pre + 'gla.weight'] = mods['gla'].weight
+        sd[pre + 'gla.bias'] = mods['gla'].bias
+        mods['residual'].dump(sd, pre + 'residual_conv')
+        mods['fusion'].dump(sd, pre + 'fusion_conv')
+    bottleneck = TorchConvModule(cin + len(scales) * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    bottleneck.dump(sd, 'bottleneck')
+    _seg(sd, conv_seg)
+
+    for _, mods in acms:
+        for m in mods.values():
+            m.eval()
+    bottleneck.eval()
+    conv_seg.eval()
+    rng = np.random.RandomState(16)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        outs = [raw]
+        for s, mods in acms:
+            pooled = mods['pooled'](F.adaptive_avg_pool2d(raw, s))
+            x = mods['inp'](raw)
+            gi = mods['glob'](F.adaptive_avg_pool2d(x, 1))
+            gi = F.interpolate(gi, size=x.shape[2:], mode='bilinear',
+                               align_corners=False)
+            n = x.size(0)
+            aff = torch.sigmoid(mods['gla'](x + gi)).permute(
+                0, 2, 3, 1).reshape(n, -1, s * s)
+            pv = pooled.view(n, CH, -1).permute(0, 2, 1)
+            z = torch.matmul(aff, pv).permute(0, 2, 1).reshape(
+                n, CH, *x.shape[2:])
+            z = F.relu(mods['residual'](z) + x)
+            outs.append(mods['fusion'](z))
+        ref = conv_seg(bottleneck(torch.cat(outs, 1)))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='APCHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, pool_scales=scales, fusion=True,
+                      in_index=0, dropout_ratio=0),
+                 convert_apc_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dm_head_ingestion_parity():
+    """DMHead (dm_head.py:11-152): dynamic per-channel correlation
+    filters incl. the left-heavy even-size padding."""
+    from s4former_tpu.core.checkpoint import convert_dm_head
+    torch.manual_seed(17)
+    cin, fsz = 12, (1, 2, 3)
+    dcms = []
+    sd = {}
+    for i, fs in enumerate(fsz):
+        mods = dict(gen=torch.nn.Conv2d(cin, CH, 1),
+                    inp=TorchConvModule(cin, CH, 1),
+                    norm=torch.nn.BatchNorm2d(CH))
+        with torch.no_grad():
+            mods['norm'].running_mean.normal_(0, 0.3)
+            mods['norm'].running_var.uniform_(0.5, 2.0)
+        dcms.append((fs, mods))
+        pre = f'dcm_modules.{i}.'
+        sd[pre + 'filter_gen_conv.weight'] = mods['gen'].weight
+        sd[pre + 'filter_gen_conv.bias'] = mods['gen'].bias
+        mods['inp'].dump(sd, pre + 'input_redu_conv')
+        for a in ('weight', 'bias', 'running_mean', 'running_var'):
+            sd[f'{pre}norm.{a}'] = getattr(mods['norm'], a)
+    bottleneck = TorchConvModule(cin + len(fsz) * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    bottleneck.dump(sd, 'bottleneck')
+    _seg(sd, conv_seg)
+
+    for _, mods in dcms:
+        for m in mods.values():
+            m.eval()
+    bottleneck.eval()
+    conv_seg.eval()
+    rng = np.random.RandomState(17)
+    feat = rng.randn(2, 10, 10, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        outs = [raw]
+        for fs, mods in dcms:
+            filt = mods['gen'](F.adaptive_avg_pool2d(raw, fs))
+            x = mods['inp'](raw)
+            b, c, h, w = x.shape
+            xr = x.reshape(1, b * c, h, w)
+            fr = filt.reshape(b * c, 1, fs, fs)
+            pad = (fs - 1) // 2
+            p2d = (pad, pad, pad, pad) if (fs - 1) % 2 == 0 else \
+                (pad + 1, pad, pad + 1, pad)
+            xp = F.pad(xr, p2d)
+            y = F.conv2d(xp, fr, groups=b * c).view(b, c, h, w)
+            outs.append(F.relu(mods['norm'](y)))
+        ref = conv_seg(bottleneck(torch.cat(outs, 1)))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='DMHead', in_channels=cin, channels=CH,
+                      num_classes=NCLS, filter_sizes=fsz, fusion=False,
+                      in_index=0, dropout_ratio=0),
+                 convert_dm_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
