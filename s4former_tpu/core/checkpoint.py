@@ -1750,6 +1750,54 @@ def convert_dm_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_ema_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg EMAHead (ema_head.py: ema_in/mid/out convs, the
+    ``ema_module.bases`` [1, C, K] buffer -> our [1, K, C] batch_stats,
+    bottleneck, conv_cat) -> zoo_heads.EMAHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p['ema_in'], bs['ema_in'] = _convmodule(sd, prefix + 'ema_in_conv')
+    p['ema_mid'] = _biased_conv(sd, prefix + 'ema_mid_conv.conv')
+    bs['bases'] = np.transpose(sd[prefix + 'ema_module.bases'], (0, 2, 1))
+    p['ema_out'] = {'kernel': np.transpose(
+        sd[prefix + 'ema_out_conv.conv.weight'], (2, 3, 1, 0))}
+    p['ema_out_bn'] = {'scale': sd[prefix + 'ema_out_conv.bn.weight'],
+                       'bias': sd[prefix + 'ema_out_conv.bn.bias']}
+    bs['ema_out_bn'] = {
+        'mean': sd[prefix + 'ema_out_conv.bn.running_mean'],
+        'var': sd[prefix + 'ema_out_conv.bn.running_var']}
+    p['bottleneck'], bs['bottleneck'] = _convmodule(
+        sd, prefix + 'bottleneck')
+    if prefix + 'conv_cat.conv.weight' in sd:
+        p['conv_cat'], bs['conv_cat'] = _convmodule(sd, prefix + 'conv_cat')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
+def convert_isa_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg ISAHead (isa_head.py: in_conv; global/local SelfAttention
+    blocks with 2-conv query/key projections, plain biased
+    value_project, ConvModule output_project; out_conv) ->
+    zoo_heads.ISAHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p['in_conv'], bs['in_conv'] = _convmodule(sd, prefix + 'in_conv')
+    for rel in ('global_relation', 'local_relation'):
+        pre = prefix + rel + '.'
+        for proj in ('query', 'key'):
+            for i in (0, 1):
+                p[f'{rel}_{proj}_{i}'], bs[f'{rel}_{proj}_{i}'] = \
+                    _convmodule(sd, pre + f'{proj}_project.{i}')
+        p[f'{rel}_value'] = _biased_conv(sd, pre + 'value_project')
+        p[f'{rel}_output'], bs[f'{rel}_output'] = _convmodule(
+            sd, pre + 'output_project')
+    p['out_conv'], bs['out_conv'] = _convmodule(sd, prefix + 'out_conv')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_sep_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
                          ) -> Tuple[Dict, Dict]:
     """mmseg DepthwiseSeparableFCNHead (sep_fcn_head.py: every conv a
@@ -1968,6 +2016,10 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_gc_head(hd)
         if 'acm_modules.0.gla.weight' in hd:     # APCNet
             return convert_apc_head(hd)
+        if 'ema_module.bases' in hd:             # EMANet
+            return convert_ema_head(hd)
+        if 'global_relation.value_project.weight' in hd:  # ISA
+            return convert_isa_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

@@ -502,15 +502,22 @@ class DMHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class EMAHead(_HeadBase):
-    """(ema_head.py): Expectation-Maximization Attention — T EM steps
-    between pixels and K bases; bases updated by stop-gradient like the
-    reference's no_grad EM loop."""
+    """(ref ema_head.py:21-170), exact structure: ema_in_conv (3x3
+    ConvModule) -> FROZEN biased 1x1 ema_mid_conv -> EM iterations whose
+    attention AND bases are fully detached (the ref computes both under
+    no_grad; gradients flow only through the identity) -> ReLU ->
+    ema_out_conv (1x1 + BN, no act) -> relu(identity + recon) ->
+    bottleneck -> optional conv_cat. ``bases`` is a moving-average
+    BUFFER (batch_stats) updated with ``momentum`` during training,
+    L2-normalized over channels."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
     ema_channels: int = 256
     num_bases: int = 64
     num_stages: int = 3
+    momentum: float = 0.1
+    concat_input: bool = True
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
 
@@ -518,26 +525,52 @@ class EMAHead(_HeadBase):
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.ema_channels, 3, name='ema_in')(x, train)
+        raw = self._pick(inputs, patchmix_perm, patchmix_n)
+        x = ConvBNReLU(self.ema_channels, 3, name='ema_in')(raw, train)
+        identity = x
+        feats = nn.Conv(self.ema_channels, (1, 1), name='ema_mid')(x)
+        # frozen like the reference (requires_grad=False on ema_mid_conv)
+        feats = jax.lax.stop_gradient(feats)
         b, h, w, c = x.shape
-        feats = x.reshape(b, h * w, c)
-        mu = self.param('bases', nn.initializers.normal(1.0),
-                        (1, self.num_bases, c))
-        mu = jnp.broadcast_to(mu, (b, self.num_bases, c))
-        mu = mu / (jnp.linalg.norm(mu, axis=-1, keepdims=True) + 1e-6)
+        feats = feats.reshape(b, h * w, c)
+
+        def init_bases(key):
+            base = jax.random.normal(key, (1, self.num_bases, c)) *                 jnp.sqrt(2.0 / self.num_bases)
+            return base / jnp.linalg.norm(base, axis=-1, keepdims=True)
+
+        bases_var = self.variable('batch_stats', 'bases', init_bases,
+                                  self.make_rng('params')
+                                  if self.is_initializing() else None)
+        mu = jnp.broadcast_to(bases_var.value, (b, self.num_bases, c))
+        attn = None
         for _ in range(self.num_stages):
-            z = jax.nn.softmax(
-                jnp.einsum('bpc,bkc->bpk', feats, mu), axis=-1)  # E step
-            mu = jnp.einsum('bpk,bpc->bkc', z, feats) / \
-                (jnp.sum(z, axis=1)[..., None] + 1e-6)           # M step
-            mu = mu / (jnp.linalg.norm(mu, axis=-1, keepdims=True) + 1e-6)
-            mu = jax.lax.stop_gradient(mu)
-        z = jax.nn.softmax(jnp.einsum('bpc,bkc->bpk', feats, mu), axis=-1)
-        recon = jnp.einsum('bpk,bkc->bpc', z, mu).reshape(b, h, w, c)
-        x = nn.relu(x + nn.Conv(c, (1, 1), name='ema_out')(recon))
-        x = ConvBNReLU(self.channels, 3, name='bottleneck')(x, train)
-        return self._cls(x, train, return_last_feat)
+            attn = jax.nn.softmax(
+                jnp.einsum('bpc,bkc->bpk', feats, mu), axis=-1)
+            attn_normed = attn / (jnp.sum(attn, axis=1, keepdims=True)
+                                  + 1e-12)
+            mu = jnp.einsum('bpk,bpc->bkc', attn_normed, feats)
+            mu = mu / (jnp.linalg.norm(mu, axis=-1, keepdims=True) + 1e-12)
+        # the ref computes the whole EM loop under no_grad: recon is
+        # fully detached — gradients reach the loss via identity only
+        mu = jax.lax.stop_gradient(mu)
+        attn = jax.lax.stop_gradient(attn)
+        recon = jnp.einsum('bkc,bpk->bpc', mu, attn).reshape(b, h, w, c)
+        if train and not self.is_initializing():
+            new_bases = jnp.mean(mu, axis=0, keepdims=True)
+            new_bases = new_bases / (jnp.linalg.norm(
+                new_bases, axis=-1, keepdims=True) + 1e-12)
+            bases_var.value = (1 - self.momentum) * bases_var.value +                 self.momentum * new_bases
+        recon = nn.relu(recon)
+        recon = nn.Conv(self.ema_channels, (1, 1), use_bias=False,
+                        name='ema_out')(recon)
+        recon = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name='ema_out_bn')(recon)
+        y = nn.relu(identity + recon)
+        y = ConvBNReLU(self.channels, 3, name='bottleneck')(y, train)
+        if self.concat_input:
+            y = ConvBNReLU(self.channels, 3, name='conv_cat')(
+                jnp.concatenate([raw, y], -1), train)
+        return self._cls(y, train, return_last_feat)
 
 
 @HEADS.register_module()
@@ -583,8 +616,13 @@ class EncHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class ISAHead(_HeadBase):
-    """(isa_head.py): Interlaced Sparse Self-Attention — global attention
-    across strided groups, then local attention within blocks."""
+    """(ref isa_head.py:16-246), exact structure: interlaced sparse
+    self-attention — glb-major H/W block split, global attention over
+    the (glb_h, glb_w) grid per local offset then local attention within
+    each block; each SelfAttentionBlock has TWO ConvModule query/key
+    projections, a plain biased value conv (value_out_norm=False,
+    with_out=False) and a ConvModule output_project; out_conv on
+    cat([attention, residual])."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
@@ -593,42 +631,52 @@ class ISAHead(_HeadBase):
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
 
-    def _self_attn(self, x, name):
+    def _sab(self, x, train, name):
         b, h, w, c = x.shape
         ci = self.isa_channels
-        q = nn.Conv(ci, (1, 1), name=f'{name}_q')(x).reshape(b, h * w, ci)
-        k = nn.Conv(ci, (1, 1), name=f'{name}_k')(x).reshape(b, h * w, ci)
-        v = nn.Conv(c, (1, 1), name=f'{name}_v')(x).reshape(b, h * w, c)
+        q = ConvBNReLU(ci, 1, name=f'{name}_query_0')(x, train)
+        q = ConvBNReLU(ci, 1, name=f'{name}_query_1')(q, train)
+        k = ConvBNReLU(ci, 1, name=f'{name}_key_0')(x, train)
+        k = ConvBNReLU(ci, 1, name=f'{name}_key_1')(k, train)
+        v = nn.Conv(c, (1, 1), name=f'{name}_value')(x)
+        q = q.reshape(b, h * w, ci)
+        k = k.reshape(b, h * w, ci)
+        v = v.reshape(b, h * w, c)
         attn = jax.nn.softmax(
-            jnp.einsum('bqc,bkc->bqk', q, k) / jnp.sqrt(float(ci)), -1)
-        return jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, c)
+            jnp.einsum('bqc,bkc->bqk', q, k) * float(ci) ** -0.5, -1)
+        ctx = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, c)
+        return ConvBNReLU(c, 1, name=f'{name}_output')(ctx, train)
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
         x = self._pick(inputs, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.channels, 3, name='conv_in')(x, train)
+        x = ConvBNReLU(self.channels, 3, name='in_conv')(x, train)
+        residual = x
         b, h, w, c = x.shape
-        ph, pw = self.down_factor
-        ph, pw = min(ph, h), min(pw, w)
-        qh, qw = -(-h // ph), -(-w // pw)      # block grid
-        pad_h, pad_w = qh * ph - h, qw * pw - w
+        loc_h, loc_w = self.down_factor
+        loc_h, loc_w = min(loc_h, h), min(loc_w, w)
+        glb_h, glb_w = -(-h // loc_h), -(-w // loc_w)
+        pad_h, pad_w = glb_h * loc_h - h, glb_w * loc_w - w
         y = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
                         (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
-        # long-range: group strided pixels -> [B*qh*qw over blocks]
-        y = y.reshape(b, qh, ph, qw, pw, c)
-        lng = y.transpose(0, 2, 4, 1, 3, 5).reshape(b * ph * pw, qh, qw, c)
-        lng = self._self_attn(lng, 'global')
-        y = lng.reshape(b, ph, pw, qh, qw, c).transpose(0, 3, 1, 4, 2, 5)
-        # short-range: attention within each block
-        sht = y.reshape(b * qh * qw, ph, pw, c)
-        sht = self._self_attn(sht, 'local')
-        y = sht.reshape(b, qh, ph, qw, pw, c).reshape(
-            b, qh * ph, qw * pw, c)
+        # glb-major split (ref :221 view(n, c, glb_h, loc_h, glb_w, loc_w))
+        y = y.reshape(b, glb_h, loc_h, glb_w, loc_w, c)
+        lng = y.transpose(0, 2, 4, 1, 3, 5).reshape(
+            b * loc_h * loc_w, glb_h, glb_w, c)
+        lng = self._sab(lng, train, 'global_relation')
+        y = lng.reshape(b, loc_h, loc_w, glb_h, glb_w, c)
+        sht = y.transpose(0, 3, 4, 1, 2, 5).reshape(
+            b * glb_h * glb_w, loc_h, loc_w, c)
+        sht = self._sab(sht, train, 'local_relation')
+        y = sht.reshape(b, glb_h, glb_w, loc_h, loc_w, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, glb_h * loc_h, glb_w * loc_w, c)
         y = y[:, pad_h // 2:pad_h // 2 + h, pad_w // 2:pad_w // 2 + w]
-        x = ConvBNReLU(self.channels, 1, name='conv_out')(
-            jnp.concatenate([x, y], -1), train)
+        # ref :243 cat([attention, residual])
+        x = ConvBNReLU(self.channels, 1, name='out_conv')(
+            jnp.concatenate([y, residual], -1), train)
         return self._cls(x, train, return_last_feat)
 
 

@@ -578,6 +578,145 @@ def test_dm_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_ema_head_ingestion_parity():
+    """EMAHead (ema_head.py:21-170): EM attention with ingested bases
+    buffer; eval-mode forward (no buffer update)."""
+    from s4former_tpu.core.checkpoint import convert_ema_head
+    torch.manual_seed(18)
+    cin, ema_c, k, stages = 12, 8, 4, 3
+    ema_in = TorchConvModule(cin, ema_c, 3)
+    ema_mid = torch.nn.Conv2d(ema_c, ema_c, 1)
+    ema_out = TorchConvModule(ema_c, ema_c, 1)
+    bottleneck = TorchConvModule(ema_c, CH, 3)
+    conv_cat = TorchConvModule(cin + CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    bases = F.normalize(torch.randn(1, ema_c, k), dim=1, p=2)
+
+    sd = {}
+    ema_in.dump(sd, 'ema_in_conv')
+    sd['ema_mid_conv.conv.weight'] = ema_mid.weight
+    sd['ema_mid_conv.conv.bias'] = ema_mid.bias
+    sd['ema_module.bases'] = bases
+    ema_out.dump(sd, 'ema_out_conv')
+    bottleneck.dump(sd, 'bottleneck')
+    conv_cat.dump(sd, 'conv_cat')
+    _seg(sd, conv_seg)
+
+    for m in (ema_in, ema_mid, ema_out, bottleneck, conv_cat, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(18)
+    feat = rng.randn(2, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        x = ema_in(raw)
+        identity = x
+        feats = ema_mid(x)
+        b, c, h, w = feats.shape
+        feats = feats.view(b, c, h * w)
+        mu = bases.repeat(b, 1, 1)
+        for _ in range(stages):
+            attn = torch.einsum('bcn,bck->bnk', feats, mu).softmax(dim=2)
+            attn_n = F.normalize(attn, dim=1, p=1)
+            mu = torch.einsum('bcn,bnk->bck', feats, attn_n)
+            mu = F.normalize(mu, dim=1, p=2)
+        recon = torch.einsum('bck,bnk->bcn', mu, attn).view(b, c, h, w)
+        recon = ema_out.bn(ema_out.conv(F.relu(recon)))
+        y = F.relu(identity + recon)
+        y = bottleneck(y)
+        y = conv_cat(torch.cat([raw, y], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='EMAHead', in_channels=cin, channels=CH,
+                      ema_channels=ema_c, num_bases=k, num_stages=stages,
+                      num_classes=NCLS, concat_input=True, in_index=0,
+                      dropout_ratio=0),
+                 convert_ema_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+class TorchISASab(torch.nn.Module):
+    def __init__(self, c, ci):
+        super().__init__()
+        self.ci = ci
+        self.q0 = TorchConvModule(c, ci, 1)
+        self.q1 = TorchConvModule(ci, ci, 1)
+        self.k0 = TorchConvModule(c, ci, 1)
+        self.k1 = TorchConvModule(ci, ci, 1)
+        self.v = torch.nn.Conv2d(c, c, 1)
+        self.out = TorchConvModule(c, c, 1)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = self.q1(self.q0(x)).view(n, self.ci, -1).permute(0, 2, 1)
+        k = self.k1(self.k0(x)).view(n, self.ci, -1)
+        v = self.v(x).view(n, c, -1).permute(0, 2, 1)
+        attn = (self.ci ** -0.5 * torch.matmul(q, k)).softmax(dim=-1)
+        y = torch.matmul(attn, v).permute(0, 2, 1).reshape(n, c, h, w)
+        return self.out(y)
+
+    def dump(self, sd, pre):
+        self.q0.dump(sd, pre + 'query_project.0')
+        self.q1.dump(sd, pre + 'query_project.1')
+        self.k0.dump(sd, pre + 'key_project.0')
+        self.k1.dump(sd, pre + 'key_project.1')
+        sd[pre + 'value_project.weight'] = self.v.weight
+        sd[pre + 'value_project.bias'] = self.v.bias
+        self.out.dump(sd, pre + 'output_project')
+
+
+def test_isa_head_ingestion_parity():
+    """ISAHead (isa_head.py:162-246): interlaced global/local attention
+    on a pad-requiring grid (10x10 with down_factor (4,4))."""
+    from s4former_tpu.core.checkpoint import convert_isa_head
+    torch.manual_seed(19)
+    import math
+    cin, ci = 12, 4
+    in_conv = TorchConvModule(cin, CH, 3)
+    grel = TorchISASab(CH, ci)
+    lrel = TorchISASab(CH, ci)
+    out_conv = TorchConvModule(2 * CH, CH, 1)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    in_conv.dump(sd, 'in_conv')
+    grel.dump(sd, 'global_relation.')
+    lrel.dump(sd, 'local_relation.')
+    out_conv.dump(sd, 'out_conv')
+    _seg(sd, conv_seg)
+
+    for m in (in_conv, grel, lrel, out_conv, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(19)
+    feat = rng.randn(1, 10, 10, cin).astype(np.float32)
+    loc_h = loc_w = 4
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        x = in_conv(raw)
+        residual = x
+        n, c, h, w = x.shape
+        glb_h, glb_w = math.ceil(h / loc_h), math.ceil(w / loc_w)
+        pad_h, pad_w = glb_h * loc_h - h, glb_w * loc_w - w
+        x = F.pad(x, (pad_w // 2, pad_w - pad_w // 2,
+                      pad_h // 2, pad_h - pad_h // 2))
+        x = x.view(n, c, glb_h, loc_h, glb_w, loc_w)
+        x = x.permute(0, 3, 5, 1, 2, 4).reshape(-1, c, glb_h, glb_w)
+        x = grel(x)
+        x = x.view(n, loc_h, loc_w, c, glb_h, glb_w)
+        x = x.permute(0, 4, 5, 3, 1, 2).reshape(-1, c, loc_h, loc_w)
+        x = lrel(x)
+        x = x.view(n, glb_h, glb_w, c, loc_h, loc_w)
+        x = x.permute(0, 3, 1, 4, 2, 5).reshape(
+            n, c, glb_h * loc_h, glb_w * loc_w)
+        x = x[:, :, pad_h // 2:pad_h // 2 + h, pad_w // 2:pad_w // 2 + w]
+        x = out_conv(torch.cat([x, residual], 1))
+        ref = conv_seg(x).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='ISAHead', in_channels=cin, channels=CH,
+                      isa_channels=ci, down_factor=(loc_h, loc_w),
+                      num_classes=NCLS, in_index=0, dropout_ratio=0),
+                 convert_isa_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
