@@ -1775,6 +1775,49 @@ def convert_ema_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_ann_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg ANNHead (ann_head.py: AFNB fusion.stages.{i} + act-free
+    fusion.bottleneck; 3x3 bottleneck; APNB context.stages.{i} with
+    SHARED query/key projection + context.bottleneck) ->
+    zoo_heads.ANNHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'fusion.stages.{i}.key_project.conv.weight' in sd:
+        pre = prefix + f'fusion.stages.{i}.'
+        p[f'fusion_{i}_query'], bs[f'fusion_{i}_query'] = _convmodule(
+            sd, pre + 'query_project')
+        p[f'fusion_{i}_key'], bs[f'fusion_{i}_key'] = _convmodule(
+            sd, pre + 'key_project')
+        p[f'fusion_{i}_value'] = _biased_conv(sd, pre + 'value_project')
+        p[f'fusion_{i}_out'] = _biased_conv(sd, pre + 'out_project')
+        i += 1
+    w = sd[prefix + 'fusion.bottleneck.conv.weight']
+    p['fusion_bottleneck'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+    p['fusion_bottleneck_bn'] = {
+        'scale': sd[prefix + 'fusion.bottleneck.bn.weight'],
+        'bias': sd[prefix + 'fusion.bottleneck.bn.bias']}
+    bs['fusion_bottleneck_bn'] = {
+        'mean': sd[prefix + 'fusion.bottleneck.bn.running_mean'],
+        'var': sd[prefix + 'fusion.bottleneck.bn.running_var']}
+    p['bottleneck'], bs['bottleneck'] = _convmodule(
+        sd, prefix + 'bottleneck')
+    i = 0
+    while prefix + f'context.stages.{i}.key_project.conv.weight' in sd:
+        pre = prefix + f'context.stages.{i}.'
+        # query_project IS key_project (share_key_query=True)
+        p[f'context_{i}_key'], bs[f'context_{i}_key'] = _convmodule(
+            sd, pre + 'key_project')
+        p[f'context_{i}_value'] = _biased_conv(sd, pre + 'value_project')
+        p[f'context_{i}_out'] = _biased_conv(sd, pre + 'out_project')
+        i += 1
+    p['context_bottleneck'], bs['context_bottleneck'] = _convmodule(
+        sd, prefix + 'context.bottleneck')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_isa_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg ISAHead (isa_head.py: in_conv; global/local SelfAttention
@@ -1794,6 +1837,32 @@ def convert_isa_head(sd: Dict[str, np.ndarray], prefix: str = ''
         p[f'{rel}_output'], bs[f'{rel}_output'] = _convmodule(
             sd, pre + 'output_project')
     p['out_conv'], bs['out_conv'] = _convmodule(sd, prefix + 'out_conv')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
+def convert_da_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg DAHead (da_head.py: pam/cam in/out ConvModules, PAM's plain
+    biased query/key/value projections + Scale gammas, per-branch
+    pam/cam_conv_seg classifiers) -> zoo_heads.DAHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for ref, ours in (('pam_in_conv', 'pam_in'),
+                      ('pam_out_conv', 'pam_out'),
+                      ('cam_in_conv', 'cam_in'),
+                      ('cam_out_conv', 'cam_out')):
+        p[ours], bs[ours] = _convmodule(sd, prefix + ref)
+    for ref, ours in (('pam.query_project', 'pam_q'),
+                      ('pam.key_project', 'pam_k'),
+                      ('pam.value_project', 'pam_v')):
+        p[ours] = _biased_conv(sd, prefix + ref)
+    p['pam_gamma'] = np.asarray(
+        sd[prefix + 'pam.gamma.scale']).reshape(())
+    p['cam_gamma'] = np.asarray(
+        sd[prefix + 'cam.gamma.scale']).reshape(())
+    for name in ('pam_conv_seg', 'cam_conv_seg'):
+        p[name] = _biased_conv(sd, prefix + name)
     _conv_seg(sd, prefix, p)
     return p, bs
 
@@ -2020,6 +2089,10 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_ema_head(hd)
         if 'global_relation.value_project.weight' in hd:  # ISA
             return convert_isa_head(hd)
+        if 'pam.gamma.scale' in hd:              # DANet
+            return convert_da_head(hd)
+        if 'fusion.stages.0.key_project.conv.weight' in hd:  # ANN
+            return convert_ann_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

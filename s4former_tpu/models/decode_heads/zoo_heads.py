@@ -358,15 +358,42 @@ class DNLHead(_FCNScaffold):
 @HEADS.register_module()
 @_head_fields
 class ANNHead(_HeadBase):
-    """(ann_head.py): asymmetric non-local — keys/values sampled at pyramid
-    pool scales (APNB), queries at full resolution."""
+    """(ref ann_head.py:16-256), exact structure: AFNB fuses the low
+    level (keys/values PPM-sampled AFTER projection) into the high
+    level with an act-free bottleneck, then dropout -> 3x3 bottleneck ->
+    APNB (query/key projections SHARED) -> cls_seg. q/k are single
+    bias-free ConvModules (BN+ReLU), value/out plain biased convs,
+    matmul scaled by channels^-0.5."""
     in_channels: Sequence[int] = (1024, 2048)
     channels: int = 512
     num_classes: int = 21
+    project_channels: int = 256
     query_scales: Sequence[int] = (1,)
     key_pool_scales: Sequence[int] = (1, 3, 6, 8)
     in_index: Sequence[int] = (-2, -1)
     input_transform: str = 'multiple_select'
+
+    def _ppm_concat(self, x):
+        b = x.shape[0]
+        c = x.shape[-1]
+        return jnp.concatenate(
+            [_adaptive_pool(x, s).reshape(b, s * s, c)
+             for s in self.key_pool_scales], axis=1)
+
+    def _sab(self, query_feats, key_feats, out_c, name, train,
+             share_key_query):
+        ci = self.project_channels
+        b, h, w, _ = query_feats.shape
+        kproj = ConvBNReLU(ci, 1, name=f'{name}_key')
+        qproj = kproj if share_key_query else             ConvBNReLU(ci, 1, name=f'{name}_query')
+        q = qproj(query_feats, train).reshape(b, h * w, ci)
+        k = self._ppm_concat(kproj(key_feats, train))
+        v = self._ppm_concat(nn.Conv(out_c, (1, 1),
+                                     name=f'{name}_value')(key_feats))
+        attn = jax.nn.softmax(
+            jnp.einsum('bqc,bkc->bqk', q, k) * float(ci) ** -0.5, -1)
+        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, out_c)
+        return nn.Conv(out_c, (1, 1), name=f'{name}_out')(y)
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False,
@@ -377,26 +404,31 @@ class ANNHead(_HeadBase):
         low, high = feats[0], feats[-1]
         if patchmix_perm is not None and patchmix_n:
             high = unshuffle_feature_map(high, patchmix_perm, patchmix_n)
-        x = ConvBNReLU(self.channels, 3, name='conv_in')(high, train)
-        b, h, w, c = x.shape
-        ci = max(c // 2, 1)
-        q = nn.Conv(ci, (1, 1), name='query')(x).reshape(b, h * w, ci)
-        # pyramid-sampled keys/values: concat pooled positions
-        kv_feats = []
-        for s in self.key_pool_scales:
-            p = _adaptive_pool(x, s)
-            kv_feats.append(p.reshape(b, s * s, c))
-        kv = jnp.concatenate(kv_feats, axis=1)
-        k = nn.Dense(ci, name='key')(kv)
-        v = nn.Dense(ci, name='value')(kv)
-        attn = jax.nn.softmax(
-            jnp.einsum('bqc,bkc->bqk', q, k) / jnp.sqrt(float(ci)), -1)
-        y = jnp.einsum('bqk,bkc->bqc', attn, v).reshape(b, h, w, ci)
-        y = nn.Conv(c, (1, 1), name='proj')(y)
-        x = x + y
-        x = ConvBNReLU(self.channels, 3, name='conv_out')(x, train)
-        del low  # AFNB low-level fusion folded into conv_in (compact form)
-        return self._cls(x, train, return_last_feat)
+        high_c = high.shape[-1]
+        # AFNB (ref :107-146): query=high, key/value=low; act-free
+        # bottleneck on cat([context, high])
+        ctx = sum(self._sab(high, low, high_c, f'fusion_{i}', train,
+                            share_key_query=False)
+                  for i in range(len(self.query_scales)))
+        y = jnp.concatenate([ctx, high], -1)
+        y = nn.Conv(high_c, (1, 1), use_bias=False,
+                    name='fusion_bottleneck')(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='fusion_bottleneck_bn')(y)
+        # ref ANNHead.forward applies the head dropout HERE (:247)
+        if self.dropout_ratio > 0:
+            y = nn.Dropout(self.dropout_ratio)(y, deterministic=not train)
+        y = ConvBNReLU(self.channels, 3, name='bottleneck')(y, train)
+        # APNB (ref :149-181): shared query/key projection
+        ctx = sum(self._sab(y, y, self.channels, f'context_{i}', train,
+                            share_key_query=True)
+                  for i in range(len(self.query_scales)))
+        y = ConvBNReLU(self.channels, 1, name='context_bottleneck')(
+            jnp.concatenate([ctx, y], -1), train)
+        feat = y
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         name='conv_seg')(y).astype(jnp.float32)
+        return (logits, feat) if return_last_feat else logits
 
 
 # --------------------------------------------------- pooled-context family
@@ -799,4 +831,10 @@ class DAHead(_HeadBase):
         cam = cam + gamma_c * jnp.einsum(
             'bcd,bpd->bpc', attn_c, f).reshape(b, h, w, c)
         cam = ConvBNReLU(self.channels, 3, name='cam_out')(cam, train)
+        # the reference also trains per-branch classifiers (pam_conv_seg /
+        # cam_conv_seg, ref da_head.py:106-140); materialize them so the
+        # param tree matches for ingestion — XLA removes the dead outputs
+        # when only the primary pam_cam logits are consumed
+        _ = nn.Conv(self.num_classes, (1, 1), name='pam_conv_seg')(pam)
+        _ = nn.Conv(self.num_classes, (1, 1), name='cam_conv_seg')(cam)
         return self._cls(pam + cam, train, return_last_feat)

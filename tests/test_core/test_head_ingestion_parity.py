@@ -717,6 +717,151 @@ def test_isa_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_da_head_ingestion_parity():
+    """DAHead (da_head.py:12-160): PAM (no scale, Scale gamma) + CAM
+    (max-subtracted channel energies), summed features -> conv_seg."""
+    from s4former_tpu.core.checkpoint import convert_da_head
+    torch.manual_seed(20)
+    cin, pam_c = 12, 4
+    pam_in = TorchConvModule(cin, CH, 3)
+    pam_q = torch.nn.Conv2d(CH, pam_c, 1)
+    pam_k = torch.nn.Conv2d(CH, pam_c, 1)
+    pam_v = torch.nn.Conv2d(CH, CH, 1)
+    pam_gamma = torch.tensor(0.6)
+    pam_out = TorchConvModule(CH, CH, 3)
+    cam_in = TorchConvModule(cin, CH, 3)
+    cam_gamma = torch.tensor(0.8)
+    cam_out = TorchConvModule(CH, CH, 3)
+    pam_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    cam_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+
+    sd = {}
+    pam_in.dump(sd, 'pam_in_conv')
+    for nm, m in (('query', pam_q), ('key', pam_k), ('value', pam_v)):
+        sd[f'pam.{nm}_project.weight'] = m.weight
+        sd[f'pam.{nm}_project.bias'] = m.bias
+    sd['pam.gamma.scale'] = pam_gamma
+    pam_out.dump(sd, 'pam_out_conv')
+    cam_in.dump(sd, 'cam_in_conv')
+    sd['cam.gamma.scale'] = cam_gamma
+    cam_out.dump(sd, 'cam_out_conv')
+    _seg(sd, pam_seg, 'pam_conv_seg')
+    _seg(sd, cam_seg, 'cam_conv_seg')
+    _seg(sd, conv_seg)
+
+    for m in (pam_in, pam_q, pam_k, pam_v, pam_out, cam_in, cam_out,
+              pam_seg, cam_seg, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(20)
+    feat = rng.randn(2, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        pf = pam_in(raw)
+        n, c, h, w = pf.shape
+        q = pam_q(pf).view(n, pam_c, -1).permute(0, 2, 1)
+        k = pam_k(pf).view(n, pam_c, -1)
+        v = pam_v(pf).view(n, c, -1).permute(0, 2, 1)
+        attn = torch.matmul(q, k).softmax(dim=-1)
+        y = torch.matmul(attn, v).permute(0, 2, 1).reshape(n, c, h, w)
+        pf = pam_out(pam_gamma * y + pf)
+        cf = cam_in(raw)
+        fq = cf.view(n, c, -1)
+        energy = torch.bmm(fq, fq.permute(0, 2, 1))
+        energy = energy.max(-1, keepdim=True)[0].expand_as(energy) - energy
+        ca = energy.softmax(dim=-1)
+        yc = torch.bmm(ca, fq).view(n, c, h, w)
+        cf = cam_out(cam_gamma * yc + cf)
+        ref = conv_seg(pf + cf).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='DAHead', in_channels=cin, channels=CH,
+                      pam_channels=pam_c, num_classes=NCLS, in_index=0,
+                      dropout_ratio=0),
+                 convert_da_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_ann_head_ingestion_parity():
+    """ANNHead (ann_head.py:16-256): AFNB low/high fusion with
+    PPM-sampled keys/values, APNB with shared q/k."""
+    from s4former_tpu.core.checkpoint import convert_ann_head
+    torch.manual_seed(21)
+    low_c, high_c, proj = 10, 12, 4
+    scales = (1, 3, 6, 8)
+
+    class Sab(torch.nn.Module):
+        def __init__(self, kin, qin, out_c, share):
+            super().__init__()
+            self.kq = TorchConvModule(kin, proj, 1)
+            self.q = self.kq if share else TorchConvModule(qin, proj, 1)
+            self.v = torch.nn.Conv2d(kin, out_c, 1)
+            self.o = torch.nn.Conv2d(out_c, out_c, 1)
+            self.share = share
+
+        def ppm(self, t):
+            n, c = t.shape[:2]
+            return torch.cat([F.adaptive_avg_pool2d(t, s).view(n, c, -1)
+                              for s in scales], dim=2)
+
+        def forward(self, qf, kf):
+            n = qf.size(0)
+            q = self.q(qf).reshape(n, proj, -1).permute(0, 2, 1)
+            k = self.ppm(self.kq(kf))
+            v = self.ppm(self.v(kf)).permute(0, 2, 1)
+            attn = (proj ** -0.5 * torch.matmul(q, k)).softmax(dim=-1)
+            y = torch.matmul(attn, v).permute(0, 2, 1)
+            y = y.reshape(n, -1, *qf.shape[2:])
+            return self.o(y)
+
+        def dump(self, sd, pre):
+            if not self.share:
+                self.q.dump(sd, pre + 'query_project')
+            self.kq.dump(sd, pre + 'key_project')
+            sd[pre + 'value_project.weight'] = self.v.weight
+            sd[pre + 'value_project.bias'] = self.v.bias
+            sd[pre + 'out_project.weight'] = self.o.weight
+            sd[pre + 'out_project.bias'] = self.o.bias
+
+    afnb = Sab(low_c, high_c, high_c, share=False)
+    fusion_bn = TorchConvModule(2 * high_c, high_c, 1)
+    bottleneck = TorchConvModule(high_c, CH, 3)
+    apnb = Sab(CH, CH, CH, share=True)
+    ctx_bn = TorchConvModule(2 * CH, CH, 1)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+
+    sd = {}
+    afnb.dump(sd, 'fusion.stages.0.')
+    fusion_bn.dump(sd, 'fusion.bottleneck')
+    # AFNB shares the query ConvModule structure; its fusion bottleneck
+    # has act=None in the ref — the oracle forward below skips its relu
+    bottleneck.dump(sd, 'bottleneck')
+    apnb.dump(sd, 'context.stages.0.')
+    ctx_bn.dump(sd, 'context.bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (afnb, fusion_bn, bottleneck, apnb, ctx_bn, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(21)
+    low = rng.randn(1, 16, 16, low_c).astype(np.float32)
+    high = rng.randn(1, 8, 8, high_c).astype(np.float32)
+    with torch.no_grad():
+        lo = torch.from_numpy(low).permute(0, 3, 1, 2)
+        hi = torch.from_numpy(high).permute(0, 3, 1, 2)
+        ctx = afnb(hi, lo)
+        y = fusion_bn.bn(fusion_bn.conv(torch.cat([ctx, hi], 1)))
+        y = bottleneck(y)
+        ctx = apnb(y, y)
+        y = ctx_bn(torch.cat([ctx, y], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='ANNHead', in_channels=(low_c, high_c),
+                      channels=CH, project_channels=proj,
+                      key_pool_scales=scales, num_classes=NCLS,
+                      in_index=(0, 1), dropout_ratio=0),
+                 convert_ann_head, _np_sd(sd), [low, high])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
