@@ -1818,6 +1818,40 @@ def convert_ann_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_enc_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg EncHead (enc_head.py: bottleneck + laterals/fusion +
+    EncModule [encoding_project, Encoding codewords/scale, BN1d over
+    codes, fc Linear] + se_layer) -> zoo_heads.EncHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    p['bottleneck'], bs['bottleneck'] = _convmodule(
+        sd, prefix + 'bottleneck')
+    i = 0
+    while prefix + f'lateral_convs.{i}.conv.weight' in sd:
+        p[f'lateral_{i}'], bs[f'lateral_{i}'] = _convmodule(
+            sd, prefix + f'lateral_convs.{i}')
+        i += 1
+    if prefix + 'fusion.conv.weight' in sd:
+        p['fusion'], bs['fusion'] = _convmodule(sd, prefix + 'fusion')
+    e = prefix + 'enc_module.'
+    p['encoding_project'], bs['encoding_project'] = _convmodule(
+        sd, e + 'encoding_project')
+    p['encoding'] = {'codewords': sd[e + 'encoding.0.codewords'],
+                     'scale': sd[e + 'encoding.0.scale']}
+    p['enc_bn'] = {'scale': sd[e + 'encoding.1.weight'],
+                   'bias': sd[e + 'encoding.1.bias']}
+    bs['enc_bn'] = {'mean': sd[e + 'encoding.1.running_mean'],
+                    'var': sd[e + 'encoding.1.running_var']}
+    p['fc'] = {'kernel': sd[e + 'fc.0.weight'].T,
+               'bias': sd[e + 'fc.0.bias']}
+    if prefix + 'se_layer.weight' in sd:
+        p['se_layer'] = {'kernel': sd[prefix + 'se_layer.weight'].T,
+                         'bias': sd[prefix + 'se_layer.bias']}
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_isa_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg ISAHead (isa_head.py: in_conv; global/local SelfAttention
@@ -2093,6 +2127,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_da_head(hd)
         if 'fusion.stages.0.key_project.conv.weight' in hd:  # ANN
             return convert_ann_head(hd)
+        if 'enc_module.encoding.0.codewords' in hd:  # EncNet
+            return convert_enc_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

@@ -608,14 +608,18 @@ class EMAHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class EncHead(_HeadBase):
-    """(enc_head.py, EncNet): context encoding (ops/encoding) + channel
-    scaling + optional se-loss logits."""
+    """(ref enc_head.py:13-190), exact EncModule: encoding_project 1x1
+    ConvModule -> Encoding (ops/encoding, torch-parity) -> BN1d over the
+    CODES axis -> ReLU -> mean over codes -> Linear+Sigmoid gamma;
+    output = relu(x + x * gamma). Optional laterals + fusion; se-loss
+    logits exposed via ``sow('intermediates', 'se_logits')``."""
     in_channels: Sequence[int] = (512, 1024, 2048)
     channels: int = 512
     num_classes: int = 21
     num_codes: int = 32
     use_se_loss: bool = False
     add_lateral: bool = False
+    loss_se_decode: Optional[dict] = None
     in_index: Sequence[int] = (0, 1, 2)
     input_transform: str = 'multiple_select'
 
@@ -635,10 +639,18 @@ class EncHead(_HeadBase):
                 for i, f in enumerate(feats[:-1])]
             x = ConvBNReLU(self.channels, 3, name='fusion')(
                 jnp.concatenate([x] + laterals, -1), train)
-        encoded = Encoding(num_codes=self.num_codes, name='encoding')(x)
-        enc_vec = nn.relu(jnp.mean(encoded, axis=1))          # [B, C]
+        proj = ConvBNReLU(self.channels, 1, name='encoding_project')(
+            x, train)
+        encoded = Encoding(num_codes=self.num_codes,
+                           name='encoding')(proj)     # [B, K, C]
+        # ref wraps Encoding in BN1d(num_codes) + ReLU, THEN means over
+        # the code axis (enc_head.py:46-56)
+        encoded = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, axis=1,
+                               name='enc_bn')(encoded)
+        enc_vec = jnp.mean(nn.relu(encoded), axis=1)  # [B, C]
         gamma = nn.sigmoid(nn.Dense(self.channels, name='fc')(enc_vec))
-        y = x * gamma[:, None, None, :]
+        y = nn.relu(x + x * gamma[:, None, None, :])
         if self.use_se_loss:
             self.sow('intermediates', 'se_logits',
                      nn.Dense(self.num_classes, name='se_layer')(enc_vec))

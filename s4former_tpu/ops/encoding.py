@@ -25,11 +25,18 @@ class Encoding(nn.Module):
         b, h, w, c = x.shape
         k = self.num_codes
         std = 1.0 / ((k * c) ** 0.5)
+        # params hold the EFFECTIVE values (torch layout) so checkpoint
+        # ingestion maps 1:1; init matches the reference's uniform ranges
         codewords = self.param(
-            'codewords', nn.initializers.uniform(scale=2 * std), (k, c))
-        codewords = codewords - std          # uniform(-std, std)
+            'codewords',
+            lambda key, shape: jax.random.uniform(key, shape,
+                                                  jnp.float32, -std, std),
+            (k, c))
         scale = self.param(
-            'scale', nn.initializers.uniform(scale=1.0), (k,)) - 1.0
+            'scale',
+            lambda key, shape: jax.random.uniform(key, shape,
+                                                  jnp.float32, -1.0, 0.0),
+            (k,))
         feats = x.reshape(b, h * w, c).astype(jnp.float32)
         cw = codewords.astype(jnp.float32)
         # scaled_l2(x, cw) = scale_k * (|x|^2 - 2 x.cw_k + |cw_k|^2)

@@ -862,6 +862,62 @@ def test_ann_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_enc_head_ingestion_parity():
+    """EncHead (enc_head.py:13-190): encoding_project -> Encoding ->
+    BN1d over codes -> ReLU -> mean -> Linear+Sigmoid;
+    out = relu(x + x*gamma)."""
+    from s4former_tpu.core.checkpoint import convert_enc_head
+    torch.manual_seed(22)
+    cin, k = 12, 4
+    bottleneck = TorchConvModule(cin, CH, 3)
+    proj = TorchConvModule(CH, CH, 1)
+    codewords = torch.randn(k, CH) * 0.1
+    scale = torch.rand(k) - 1.0
+    enc_bn = torch.nn.BatchNorm1d(k)
+    with torch.no_grad():
+        enc_bn.running_mean.normal_(0, 0.3)
+        enc_bn.running_var.uniform_(0.5, 2.0)
+    fc = torch.nn.Linear(CH, CH)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+
+    sd = {}
+    bottleneck.dump(sd, 'bottleneck')
+    proj.dump(sd, 'enc_module.encoding_project')
+    sd['enc_module.encoding.0.codewords'] = codewords
+    sd['enc_module.encoding.0.scale'] = scale
+    for a in ('weight', 'bias', 'running_mean', 'running_var'):
+        sd[f'enc_module.encoding.1.{a}'] = getattr(enc_bn, a)
+    sd['enc_module.fc.0.weight'] = fc.weight
+    sd['enc_module.fc.0.bias'] = fc.bias
+    _seg(sd, conv_seg)
+
+    for m in (bottleneck, proj, enc_bn, fc, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(22)
+    feat = rng.randn(2, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        x = bottleneck(raw)
+        px = proj(x)
+        b, c = px.size(0), px.size(1)
+        f = px.view(b, c, -1).transpose(1, 2)        # [B, N, C]
+        ex = f.unsqueeze(2) - codewords.view(1, 1, k, c)
+        sl = scale.view(1, 1, k) * ex.pow(2).sum(3)
+        a = torch.softmax(sl, dim=2)
+        enc = (a.unsqueeze(3) * ex).sum(dim=1)       # [B, K, C]
+        enc = F.relu(enc_bn(enc)).mean(dim=1)
+        gamma = torch.sigmoid(fc(enc)).view(b, c, 1, 1)
+        y = F.relu(x + x * gamma)
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='EncHead', in_channels=(cin,), channels=CH,
+                      num_codes=k, num_classes=NCLS, in_index=(0,),
+                      use_se_loss=False, add_lateral=False,
+                      dropout_ratio=0),
+                 convert_enc_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""

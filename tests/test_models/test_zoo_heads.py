@@ -126,8 +126,10 @@ def test_encoding_matches_torch_reference():
     mod = Encoding(num_codes=4)
     v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
     got = mod.apply(v, jnp.asarray(x))
-    cw = np.asarray(v['params']['codewords']) - 1.0 / ((4 * 8) ** 0.5)
-    sc = np.asarray(v['params']['scale']) - 1.0
+    # params now hold the EFFECTIVE torch-layout values directly (the
+    # old init-offset indirection broke checkpoint ingestion)
+    cw = np.asarray(v['params']['codewords'])
+    sc = np.asarray(v['params']['scale'])
     tref = TorchEncoding(8, 4, cw, sc)
     with torch.no_grad():
         ref = tref(torch.from_numpy(x).permute(0, 3, 1, 2))
