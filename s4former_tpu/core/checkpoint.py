@@ -1818,6 +1818,27 @@ def convert_ann_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_psa_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg PSAHead (psa_head.py: reduce(+_p) ConvModules, attention
+    Sequentials [ConvModule, bias-free conv to mask_h*mask_w], quirky
+    padded 1x1 proj, bottleneck) -> zoo_heads.PSAHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for ref, ours in (('reduce', 'reduce'), ('reduce_p', 'reduce_p'),
+                      ('proj', 'proj'), ('bottleneck', 'bottleneck')):
+        if prefix + ref + '.conv.weight' in sd:
+            p[ours], bs[ours] = _convmodule(sd, prefix + ref)
+    for att in ('attention', 'attention_p'):
+        if prefix + att + '.0.conv.weight' in sd:
+            p[f'{att}_0'], bs[f'{att}_0'] = _convmodule(
+                sd, prefix + att + '.0')
+            w = sd[prefix + att + '.1.weight']
+            p[f'{att}_1'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_enc_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg EncHead (enc_head.py: bottleneck + laterals/fusion +
@@ -2129,6 +2150,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_ann_head(hd)
         if 'enc_module.encoding.0.codewords' in hd:  # EncNet
             return convert_enc_head(hd)
+        if 'attention.1.weight' in hd:           # PSANet
+            return convert_psa_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

@@ -763,43 +763,113 @@ class LRASPPHead(_HeadBase):
         return self._cls(y, train, return_last_feat)
 
 
+def _psamask(a, mask_size, h, w, collect):
+    """mmcv PSAMask as two factored one-hot contractions (MXU-friendly).
+
+    ``a``: [B, h, w, mask_h*mask_w] relative attention predicted at each
+    position. Returns [B, h*w (channel = absolute position), h*w
+    (spatial)] matching mmcv's buffer layout: collect puts the PREDICTOR
+    on the spatial axis (buffer[abs_source, target]); distribute puts it
+    on the channel axis (buffer[predictor, abs_target])."""
+    b = a.shape[0]
+    mh, mw = mask_size
+    hh, hw_ = (mh - 1) // 2, (mw - 1) // 2
+    a5 = a.reshape(b, h, w, mh, mw)
+    eh = (jnp.arange(h)[None, :] ==
+          (jnp.arange(h)[:, None] +
+           jnp.arange(mh)[:, None, None] - hh)).astype(a.dtype)  # [mh,s,t]
+    ew = (jnp.arange(w)[None, :] ==
+          (jnp.arange(w)[:, None] +
+           jnp.arange(mw)[:, None, None] - hw_)).astype(a.dtype)
+    # out[b, s, z, t, u] = a5[b, t, u, m, v] where s = t+m-hh, z = u+v-hw
+    out = jnp.einsum('btumv,mst,vzu->bsztu', a5, eh, ew)
+    if collect:
+        return out.reshape(b, h * w, h * w)
+    return out.reshape(b, h * w, h * w).transpose(0, 2, 1)
+
+
 @HEADS.register_module()
 @_head_fields
 class PSAHead(_HeadBase):
-    """(psa_head.py, PSANet): point-wise spatial attention — collect and
-    distribute attention maps predicted per pixel."""
+    """(ref psa_head.py:17-198), exact structure: reduce 1x1 ConvModule,
+    shrink-factor resize (align_corners flips to True on odd sizes),
+    attention = ConvModule + bias-free conv to mask_h*mask_w, PSAMask
+    (or compact transpose) + softmax over the CHANNEL position axis,
+    x @ y / normalization_factor, bi-direction concat, the reference's
+    quirky 1x1-conv-with-padding-1 ``proj``, resize back, bottleneck on
+    cat([identity, out])."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 21
-    mask_size: Sequence[int] = (32, 32)
+    mask_size: Sequence[int] = (97, 97)
+    psa_type: str = 'bi-direction'
+    compact: bool = False
+    shrink_factor: int = 2
+    normalization_factor: float = 1.0
+    psa_softmax: bool = True
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
+
+    def _branch(self, x, train, name, collect, compact_transpose):
+        b, h, w, c = x.shape
+        align = self.align_corners
+        if self.shrink_factor != 1:
+            if h % self.shrink_factor and w % self.shrink_factor:
+                h = (h - 1) // self.shrink_factor + 1
+                w = (w - 1) // self.shrink_factor + 1
+                align = True
+            else:
+                h = h // self.shrink_factor
+                w = w // self.shrink_factor
+                align = False
+            x = resize_bilinear(x, (h, w), align)
+        y = ConvBNReLU(self.channels, 1, name=f'{name}_0')(x, train)
+        mh, mw = self.mask_size
+        y = nn.Conv(mh * mw, (1, 1), use_bias=False,
+                    name=f'{name}_1')(y)
+        if self.compact:
+            # the ref transposes SINGLE-collect (:138-141) but
+            # BI-distribute (:173-175) — an inconsistency kept as-is
+            y = y.reshape(b, h * w, h * w)
+            if compact_transpose:
+                y = y.transpose(0, 2, 1)
+        else:
+            y = _psamask(y, self.mask_size, h, w, collect)
+        if self.psa_softmax:
+            y = jax.nn.softmax(y, axis=1)
+        out = jnp.einsum('bpc,bpq->bqc', x.reshape(b, h * w, c), y) \
+            * (1.0 / self.normalization_factor)
+        return out.reshape(b, h, w, c), align
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        b, h, w, _ = x.shape
-        y = ConvBNReLU(self.channels, 1, name='reduce')(x, train)
-        hw = h * w
-        # collect: each pixel predicts attention over all positions
-        col = nn.Conv(hw, (1, 1), name='attn_collect')(
-            ConvBNReLU(self.channels, 1, name='collect_mid')(y, train))
-        col = jax.nn.softmax(col.reshape(b, hw, hw), axis=-1)
-        vc = jnp.einsum('bqk,bkc->bqc', col,
-                        y.reshape(b, hw, self.channels))
-        # distribute: transposed attention
-        dis = nn.Conv(hw, (1, 1), name='attn_distribute')(
-            ConvBNReLU(self.channels, 1, name='distribute_mid')(y, train))
-        dis = jax.nn.softmax(dis.reshape(b, hw, hw), axis=1)
-        vd = jnp.einsum('bkq,bkc->bqc', dis,
-                        y.reshape(b, hw, self.channels))
-        z = jnp.concatenate([vc, vd], -1).reshape(b, h, w, -1)
-        z = ConvBNReLU(self.channels, 1, name='proj')(z, train)
-        x = ConvBNReLU(self.channels, 3, name='bottleneck')(
-            jnp.concatenate([x, z], -1), train)
-        return self._cls(x, train, return_last_feat)
+        identity = self._pick(inputs, patchmix_perm, patchmix_n)
+        if self.psa_type in ('collect', 'distribute'):
+            x = ConvBNReLU(self.channels, 1, name='reduce')(identity,
+                                                            train)
+            out, align = self._branch(x, train, 'attention',
+                                      self.psa_type == 'collect',
+                                      self.psa_type == 'collect')
+        else:
+            x_col = ConvBNReLU(self.channels, 1, name='reduce')(identity,
+                                                                train)
+            x_dis = ConvBNReLU(self.channels, 1, name='reduce_p')(identity,
+                                                                  train)
+            col, align = self._branch(x_col, train, 'attention', True,
+                                      False)
+            dis, _ = self._branch(x_dis, train, 'attention_p', False,
+                                  True)
+            out = jnp.concatenate([col, dis], -1)
+        # ref quirk: proj is a 1x1 ConvModule with padding=1 (output
+        # grows by 2 per side; the resize below interpolates it away)
+        out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = ConvBNReLU(identity.shape[-1], 1, name='proj')(out, train)
+        out = resize_bilinear(out, identity.shape[1:3], align)
+        y = ConvBNReLU(self.channels, 3, name='bottleneck')(
+            jnp.concatenate([identity, out], -1), train)
+        return self._cls(y, train, return_last_feat)
 
 
 @HEADS.register_module()

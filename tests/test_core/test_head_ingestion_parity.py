@@ -918,6 +918,92 @@ def test_enc_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def _torch_psamask(a, mask_hw, collect):
+    """mmcv psamask kernel semantics (psamask_cuda_kernel.cuh):
+    collect: buffer[n, abs_source, predictor]; distribute:
+    buffer[n, predictor, abs_target]."""
+    n, _, h, w = a.shape
+    mh, mw = mask_hw
+    hh, hw_ = (mh - 1) // 2, (mw - 1) // 2
+    out = torch.zeros(n, h * w, h * w)
+    for i in range(h):
+        for j in range(w):
+            for mi in range(mh):
+                for mj in range(mw):
+                    si, sj = i + mi - hh, j + mj - hw_
+                    if 0 <= si < h and 0 <= sj < w:
+                        v = a[:, mi * mw + mj, i, j]
+                        if collect:
+                            out[:, si * w + sj, i * w + j] = v
+                        else:
+                            out[:, i * w + j, si * w + sj] = v
+    return out
+
+
+def test_psa_head_ingestion_parity():
+    """PSAHead (psa_head.py:17-198): bi-direction, non-compact, shrink 2,
+    mask smaller than the feature grid (the psamask crop path is live)."""
+    from s4former_tpu.core.checkpoint import convert_psa_head
+    torch.manual_seed(23)
+    cin, mask = 12, (5, 5)
+    reduce_c = TorchConvModule(cin, CH, 1)
+    reduce_p = TorchConvModule(cin, CH, 1)
+    att0 = TorchConvModule(CH, CH, 1)
+    att1 = torch.nn.Conv2d(CH, mask[0] * mask[1], 1, bias=False)
+    attp0 = TorchConvModule(CH, CH, 1)
+    attp1 = torch.nn.Conv2d(CH, mask[0] * mask[1], 1, bias=False)
+    proj = TorchConvModule(2 * CH, cin, 1)
+    bottleneck = TorchConvModule(2 * cin, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+
+    sd = {}
+    reduce_c.dump(sd, 'reduce')
+    reduce_p.dump(sd, 'reduce_p')
+    att0.dump(sd, 'attention.0')
+    sd['attention.1.weight'] = att1.weight
+    attp0.dump(sd, 'attention_p.0')
+    sd['attention_p.1.weight'] = attp1.weight
+    proj.dump(sd, 'proj')
+    bottleneck.dump(sd, 'bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (reduce_c, reduce_p, att0, att1, attp0, attp1, proj,
+              bottleneck, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(23)
+    feat = rng.randn(1, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        idn = torch.from_numpy(feat).permute(0, 3, 1, 2)
+
+        def branch(x, a0, a1, collect):
+            n, c, h, w = x.shape
+            h2, w2 = h // 2, w // 2
+            x = F.interpolate(x, size=(h2, w2), mode='bilinear',
+                              align_corners=False)
+            y = a1(a0(x))
+            y = _torch_psamask(y, mask, collect)
+            y = F.softmax(y, dim=1)
+            out = torch.bmm(x.view(n, c, h2 * w2), y)
+            return out.view(n, c, h2, w2)
+
+        col = branch(reduce_c(idn), att0, att1, True)
+        dis = branch(reduce_p(idn), attp0, attp1, False)
+        out = torch.cat([col, dis], 1)
+        out = proj.bn(proj.conv(F.pad(out, (1, 1, 1, 1))))
+        out = F.relu(out)
+        out = F.interpolate(out, size=idn.shape[2:], mode='bilinear',
+                            align_corners=False)
+        y = bottleneck(torch.cat([idn, out], 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='PSAHead', in_channels=cin, channels=CH,
+                      mask_size=mask, psa_type='bi-direction',
+                      shrink_factor=2, num_classes=NCLS, in_index=0,
+                      dropout_ratio=0),
+                 convert_psa_head, _np_sd(sd), [feat])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
