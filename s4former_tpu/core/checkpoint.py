@@ -1818,6 +1818,58 @@ def convert_ann_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_dpt_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg DPTHead (dpt_head.py: reassemble projects + parametric
+    resize layers [deconvs map via transpose(2,3,0,1) + double spatial
+    flip], bias-free convs, fusion blocks with pre-act residual units,
+    biased fusion projects, final ConvModule) -> advanced_heads.DPTHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    r = prefix + 'reassemble_blocks.'
+    i = 0
+    while r + f'projects.{i}.conv.weight' in sd:
+        p[f'reassemble_{i}'] = _biased_conv(sd, r + f'projects.{i}.conv')
+        i += 1
+    for j in (0, 1):
+        w = sd[r + f'resize_layers.{j}.weight']   # deconv [Cin,Cout,k,k]
+        p[f'resize_{j}'] = {
+            'kernel': np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy(),
+            'bias': sd[r + f'resize_layers.{j}.bias']}
+    p['resize_3'] = _biased_conv(sd, r + 'resize_layers.3')
+    i = 0
+    while prefix + f'convs.{i}.conv.weight' in sd:
+        w = sd[prefix + f'convs.{i}.conv.weight']
+        p[f'convs_{i}'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+        i += 1
+
+    def rcu(key, ours):
+        rp: Dict[str, Any] = {}
+        rb: Dict[str, Any] = {}
+        for n in (1, 2):
+            w = sd[key + f'.conv{n}.conv.weight']
+            rp[f'conv{n}'] = {'kernel': np.transpose(w, (2, 3, 1, 0))}
+            rp[f'bn{n}'] = {'scale': sd[key + f'.conv{n}.bn.weight'],
+                            'bias': sd[key + f'.conv{n}.bn.bias']}
+            rb[f'bn{n}'] = {
+                'mean': sd[key + f'.conv{n}.bn.running_mean'],
+                'var': sd[key + f'.conv{n}.bn.running_var']}
+        p[ours] = rp
+        bs[ours] = rb
+
+    i = 0
+    while prefix + f'fusion_blocks.{i}.project.conv.weight' in sd:
+        pre = prefix + f'fusion_blocks.{i}.'
+        if pre + 'res_conv_unit1.conv1.conv.weight' in sd:
+            rcu(pre + 'res_conv_unit1', f'fusion_{i}_rcu1')
+        rcu(pre + 'res_conv_unit2', f'fusion_{i}_rcu2')
+        p[f'fusion_{i}_project'] = _biased_conv(sd, pre + 'project.conv')
+        i += 1
+    p['project'], bs['project'] = _convmodule(sd, prefix + 'project')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_psa_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg PSAHead (psa_head.py: reduce(+_p) ConvModules, attention
@@ -2152,6 +2204,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_enc_head(hd)
         if 'attention.1.weight' in hd:           # PSANet
             return convert_psa_head(hd)
+        if 'reassemble_blocks.projects.0.conv.weight' in hd:  # DPT
+            return convert_dpt_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

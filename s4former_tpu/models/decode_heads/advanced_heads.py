@@ -48,9 +48,13 @@ class ResidualConvUnit(nn.Module):
 @HEADS.register_module()
 @_head_fields
 class DPTHead(_HeadBase):
-    """(dpt_head.py:216-293): reassemble ViT-level tokens to a pyramid
-    (4x/2x/1x/0.5x), project to a common width, fuse top-down with
-    residual conv units, then conv + classifier."""
+    """(ref dpt_head.py:14-293), exact structure: ReassembleBlocks with
+    BIASED 1x1 projects and parametric resize layers (ConvTranspose 4x4
+    s4 / 2x2 s2 / identity / 3x3 s2 conv), bias-free no-norm per-level
+    convs, FeatureFusionBlocks (block 0 has NO res_conv_unit1; skip
+    resized onto the carry with align_corners=False, the x2 upsample
+    with align_corners=TRUE, biased 1x1 project), final 3x3 ConvModule.
+    readout_type: 'ignore' only (our ViT taps drop the cls token)."""
     in_channels: Union[int, Sequence[int]] = (768, 768, 768, 768)
     channels: int = 256
     num_classes: int = 21
@@ -65,39 +69,48 @@ class DPTHead(_HeadBase):
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
+        if self.readout_type != 'ignore':
+            raise NotImplementedError(
+                "readout_type 'add'/'project' need the ViT cls token, "
+                'which our backbone taps drop (reassemble readout — '
+                'disclosed in PARITY.md)')
         feats = [inputs[i] for i in self.in_index]
-        # ReassembleBlocks (dpt_head.py:14-98): per-level 1x1 project then
-        # scale by (4, 2, 1, 0.5) relative to the token grid
-        scales = (4, 2, 1, 0.5)
+        ppc = [c * 2 ** i if self.expand_channels else c
+               for i, c in enumerate(self.post_process_channels)]
         outs = []
         for i, f in enumerate(feats):
-            y = nn.Conv(self.post_process_channels[i], (1, 1),
-                        name=f'reassemble_{i}')(f)
-            s = scales[i] if i < len(scales) else 1
-            if s > 1:
-                y = resize_bilinear(
-                    y, (y.shape[1] * int(s), y.shape[2] * int(s)),
-                    self.align_corners)
-            elif s < 1:
-                y = nn.Conv(self.post_process_channels[i], (3, 3),
-                            strides=2, padding=1, name=f'down_{i}')(y)
+            y = nn.Conv(ppc[i], (1, 1), name=f'reassemble_{i}')(f)
+            if i == 0:
+                y = nn.ConvTranspose(ppc[i], (4, 4), strides=(4, 4),
+                                     padding='VALID',
+                                     name='resize_0')(y)
+            elif i == 1:
+                y = nn.ConvTranspose(ppc[i], (2, 2), strides=(2, 2),
+                                     padding='VALID',
+                                     name='resize_1')(y)
+            elif i == 3:
+                y = nn.Conv(ppc[i], (3, 3), strides=(2, 2), padding=1,
+                            name='resize_3')(y)
             outs.append(y)
-        # project each level to `channels`
         outs = [nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
                         name=f'convs_{i}')(y) for i, y in enumerate(outs)]
-        # FeatureFusionBlocks (dpt_head.py:150-214) top-down
-        x = outs[-1]
-        for i in range(len(outs) - 1, -1, -1):
-            if i < len(outs) - 1:
-                skip = ResidualConvUnit(self.channels,
-                                        name=f'rcu_skip_{i}')(outs[i], train)
-                x = resize_bilinear(x, skip.shape[1:3], self.align_corners)
-                x = x + skip
-            x = ResidualConvUnit(self.channels, name=f'rcu_out_{i}')(
-                x, train)
-            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
-                                self.align_corners)
-            x = nn.Conv(self.channels, (1, 1), name=f'fusion_proj_{i}')(x)
+        # FeatureFusionBlocks (ref :150-214 + :271-273): block 0 takes
+        # the deepest level with no skip unit
+        x = None
+        for blk, lvl in enumerate(range(len(outs) - 1, -1, -1)):
+            skip = outs[lvl]
+            if blk == 0:
+                x = skip
+            else:
+                if x.shape[1:3] != skip.shape[1:3]:
+                    skip = resize_bilinear(skip, x.shape[1:3], False)
+                x = x + ResidualConvUnit(
+                    self.channels, name=f'fusion_{blk}_rcu1')(skip, train)
+            x = ResidualConvUnit(self.channels,
+                                 name=f'fusion_{blk}_rcu2')(x, train)
+            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), True)
+            x = nn.Conv(self.channels, (1, 1),
+                        name=f'fusion_{blk}_project')(x)
         x = ConvBNReLU(self.channels, 3, name='project')(x, train)
         return self._cls(x, train, return_last_feat)
 

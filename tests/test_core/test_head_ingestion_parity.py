@@ -1004,6 +1004,115 @@ def test_psa_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_dpt_head_ingestion_parity():
+    """DPTHead (dpt_head.py:14-293): parametric reassemble resizes,
+    fusion blocks (block 0 skip-unit-free, x2 upsample align_corners
+    TRUE), biased fusion projects."""
+    from s4former_tpu.core.checkpoint import convert_dpt_head
+    torch.manual_seed(24)
+    emb, ppc, ch = 12, (4, 6, 8, 10), 8
+
+    class RCU(torch.nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(c, c, 3, padding=1, bias=False)
+            self.b1 = torch.nn.BatchNorm2d(c)
+            self.c2 = torch.nn.Conv2d(c, c, 3, padding=1, bias=False)
+            self.b2 = torch.nn.BatchNorm2d(c)
+            for b in (self.b1, self.b2):
+                with torch.no_grad():
+                    b.running_mean.normal_(0, 0.3)
+                    b.running_var.uniform_(0.5, 2.0)
+
+        def forward(self, x):
+            y = self.b1(self.c1(F.relu(x)))
+            y = self.b2(self.c2(F.relu(y)))
+            return x + y
+
+        def dump(self, sd, pre):
+            for n, cv, bn in ((1, self.c1, self.b1), (2, self.c2,
+                                                      self.b2)):
+                sd[f'{pre}.conv{n}.conv.weight'] = cv.weight
+                for a in ('weight', 'bias', 'running_mean', 'running_var'):
+                    sd[f'{pre}.conv{n}.bn.{a}'] = getattr(bn, a)
+
+    projects = torch.nn.ModuleList(torch.nn.Conv2d(emb, c, 1)
+                                   for c in ppc)
+    rz0 = torch.nn.ConvTranspose2d(ppc[0], ppc[0], 4, stride=4)
+    rz1 = torch.nn.ConvTranspose2d(ppc[1], ppc[1], 2, stride=2)
+    rz3 = torch.nn.Conv2d(ppc[3], ppc[3], 3, stride=2, padding=1)
+    convs = torch.nn.ModuleList(torch.nn.Conv2d(c, ch, 3, padding=1,
+                                                bias=False) for c in ppc)
+    rcu1s = torch.nn.ModuleList(RCU(ch) for _ in range(3))
+    rcu2s = torch.nn.ModuleList(RCU(ch) for _ in range(4))
+    fprojs = torch.nn.ModuleList(torch.nn.Conv2d(ch, ch, 1)
+                                 for _ in range(4))
+    final = TorchConvModule(ch, ch, 3)
+    conv_seg = torch.nn.Conv2d(ch, NCLS, 1)
+
+    sd = {}
+    for i, m in enumerate(projects):
+        sd[f'reassemble_blocks.projects.{i}.conv.weight'] = m.weight
+        sd[f'reassemble_blocks.projects.{i}.conv.bias'] = m.bias
+    for j, m in ((0, rz0), (1, rz1), (3, rz3)):
+        sd[f'reassemble_blocks.resize_layers.{j}.weight'] = m.weight
+        sd[f'reassemble_blocks.resize_layers.{j}.bias'] = m.bias
+    for i, m in enumerate(convs):
+        sd[f'convs.{i}.conv.weight'] = m.weight
+    for i in range(4):
+        if i > 0:
+            rcu1s[i - 1].dump(sd, f'fusion_blocks.{i}.res_conv_unit1')
+        rcu2s[i].dump(sd, f'fusion_blocks.{i}.res_conv_unit2')
+        sd[f'fusion_blocks.{i}.project.conv.weight'] = fprojs[i].weight
+        sd[f'fusion_blocks.{i}.project.conv.bias'] = fprojs[i].bias
+    final.dump(sd, 'project')
+    _seg(sd, conv_seg)
+
+    mods = [*projects, rz0, rz1, rz3, *convs, *rcu1s, *rcu2s, *fprojs,
+            final, conv_seg]
+    for m in mods:
+        m.eval()
+    rng = np.random.RandomState(24)
+    feats = [rng.randn(1, 4, 4, emb).astype(np.float32)
+             for _ in range(4)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        outs = []
+        for i, x in enumerate(xs):
+            y = projects[i](x)
+            if i == 0:
+                y = rz0(y)
+            elif i == 1:
+                y = rz1(y)
+            elif i == 3:
+                y = rz3(y)
+            outs.append(convs[i](y))
+        x = None
+        for blk, lvl in enumerate(range(3, -1, -1)):
+            skip = outs[lvl]
+            if blk == 0:
+                x = skip
+            else:
+                if x.shape[2:] != skip.shape[2:]:
+                    skip = F.interpolate(skip, size=x.shape[2:],
+                                         mode='bilinear',
+                                         align_corners=False)
+                x = x + rcu1s[blk - 1](skip)
+            x = rcu2s[blk](x)
+            x = F.interpolate(x, scale_factor=2, mode='bilinear',
+                              align_corners=True)
+            x = fprojs[blk](x)
+        x = final(x)
+        ref = conv_seg(x).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(type='DPTHead', in_channels=(emb,) * 4, channels=ch,
+                      embed_dims=emb, post_process_channels=list(ppc),
+                      num_classes=NCLS, in_index=(0, 1, 2, 3),
+                      dropout_ratio=0),
+                 convert_dpt_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
