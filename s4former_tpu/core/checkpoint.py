@@ -1818,6 +1818,38 @@ def convert_ann_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_daformer_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                          ) -> Tuple[Dict, Dict]:
+    """mmseg/S4Former DAFormerHead (daformer_head.py: embed_layers.{i}
+    MLP Linears, fuse_layer ASPPWrapper [plain/DS aspp_modules + 3x3
+    bottleneck]) -> advanced_heads.DAFormerHead (canonical mlp+aspp)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'embed_layers.{i}.proj.weight' in sd:
+        p[f'embed_{i}'] = {
+            'kernel': sd[prefix + f'embed_layers.{i}.proj.weight'].T,
+            'bias': sd[prefix + f'embed_layers.{i}.proj.bias']}
+        i += 1
+    i = 0
+    while True:
+        key = prefix + f'fuse_layer.aspp_modules.{i}'
+        if key + '.conv.weight' in sd:
+            p[f'fuse_{i}'], bs[f'fuse_{i}'] = _convmodule(sd, key)
+        elif key + '.depthwise_conv.conv.weight' in sd:
+            p[f'fuse_{i}'], bs[f'fuse_{i}'] = _sepconvmodule(sd, key)
+        else:
+            break
+        i += 1
+    if prefix + 'fuse_layer.image_pool.1.conv.weight' in sd:
+        p['fuse_pool'], bs['fuse_pool'] = _convmodule(
+            sd, prefix + 'fuse_layer.image_pool.1')
+    p['fuse_bottleneck'], bs['fuse_bottleneck'] = _convmodule(
+        sd, prefix + 'fuse_layer.bottleneck')
+    _conv_seg(sd, prefix, p)
+    return p, bs
+
+
 def convert_dpt_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg DPTHead (dpt_head.py: reassemble projects + parametric
@@ -2206,6 +2238,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             return convert_psa_head(hd)
         if 'reassemble_blocks.projects.0.conv.weight' in hd:  # DPT
             return convert_dpt_head(hd)
+        if 'embed_layers.0.proj.weight' in hd:   # DAFormer
+            return convert_daformer_head(hd)
         if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
             return convert_dm_head(hd)
         if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)

@@ -119,47 +119,92 @@ class DPTHead(_HeadBase):
 @HEADS.register_module()
 @_head_fields
 class DAFormerHead(_HeadBase):
-    """(daformer_head.py:124-190): per-level embed MLP -> resize to the
-    finest level -> context-aware ASPP fusion (sep convs, dilations
-    1/6/12/18)."""
+    """(ref daformer_head.py:124-191), exact structure for the canonical
+    recipe: per-level embed layers built from ``decoder_params``
+    (types 'mlp' = Linear, 'conv'/'sep_conv' ConvModules), resize to the
+    finest level, fusion = ASPPWrapper (sep DS-ASPP branches + 3x3
+    bottleneck; optional image pool). Unsupported layer types ('isa',
+    'rawconv_and_aspp', context_cfg) raise."""
     in_channels: Sequence[int] = (64, 128, 320, 512)
     channels: int = 256
     num_classes: int = 19
-    embed_dims: int = 256
-    fusion_dilations: Sequence[int] = (1, 6, 12, 18)
+    decoder_params: Optional[dict] = None
     in_index: Sequence[int] = (0, 1, 2, 3)
     input_transform: str = 'multiple_select'
+
+    def _embed(self, x, i, cfg, dim, train):
+        t = cfg['type']
+        if t == 'mlp':
+            return nn.Dense(dim, name=f'embed_{i}')(x)
+        if t == 'conv':
+            k = cfg.get('kernel_size', 1)
+            return ConvBNReLU(dim, k, name=f'embed_{i}')(x, train)
+        if t == 'sep_conv':
+            from s4former_tpu.models.decode_heads.zoo_heads import \
+                SepConvBNReLU
+            k = cfg.get('kernel_size', 3)
+            return SepConvBNReLU(dim, k, name=f'embed_{i}')(x, train)
+        raise NotImplementedError(
+            f"DAFormer embed layer type '{t}' (disclosed in PARITY.md)")
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
         from s4former_tpu.models.decode_heads.zoo_heads import SepConvBNReLU
+        dp = dict(self.decoder_params or dict(
+            embed_dims=256,
+            embed_cfg=dict(type='mlp'),
+            embed_neck_cfg='same_as_embed_cfg',
+            fusion_cfg=dict(type='aspp', sep=True,
+                            dilations=(1, 6, 12, 18), pool=False)))
+        embed_dims = dp['embed_dims']
+        if isinstance(embed_dims, int):
+            embed_dims = [embed_dims] * len(self.in_index)
+        embed_cfg = dp['embed_cfg']
+        embed_neck_cfg = dp.get('embed_neck_cfg', 'same_as_embed_cfg')
+        if embed_neck_cfg == 'same_as_embed_cfg':
+            embed_neck_cfg = embed_cfg
+        fusion_cfg = dict(dp['fusion_cfg'])
         feats = [inputs[i] for i in self.in_index]
         target_hw = feats[0].shape[1:3]
         embeds = []
         for i, f in enumerate(feats):
-            y = nn.Conv(self.embed_dims, (1, 1), name=f'embed_{i}')(f)
+            cfg = embed_neck_cfg if i == len(feats) - 1 else embed_cfg
+            y = self._embed(f, self.in_index[i], cfg, embed_dims[i],
+                            train)
+            if patchmix_perm is not None and patchmix_n:
+                y = unshuffle_feature_map(y, patchmix_perm, patchmix_n)
             if y.shape[1:3] != target_hw:
                 y = resize_bilinear(y, target_hw, self.align_corners)
             embeds.append(y)
         x = jnp.concatenate(embeds, -1)
-        # ASPPWrapper fusion (daformer_head.py:19-78): pooled branch off,
-        # sep convs at the paper dilations
+        if fusion_cfg['type'] != 'aspp':
+            raise NotImplementedError(
+                f"DAFormer fusion type '{fusion_cfg['type']}'")
         branches = []
-        for i, d in enumerate(self.fusion_dilations):
-            if d == 1:
-                branches.append(ConvBNReLU(self.channels, 1,
-                                           name=f'fuse_{i}')(x, train))
+        if fusion_cfg.get('pool', False):
+            pooled = ConvBNReLU(self.channels, 1, name='fuse_pool')(
+                jnp.mean(x, axis=(1, 2), keepdims=True), train)
+            branches.append(resize_bilinear(
+                jnp.broadcast_to(
+                    pooled, (x.shape[0], 1, 1, self.channels)),
+                target_hw, self.align_corners))
+        sep = fusion_cfg.get('sep', True)
+        for i, d in enumerate(fusion_cfg.get('dilations', (1, 6, 12, 18))):
+            if d == 1 or not sep:
+                branches.append(ConvBNReLU(
+                    self.channels, 1 if d == 1 else 3, d,
+                    name=f'fuse_{i}')(x, train))
             else:
-                branches.append(SepConvBNReLU(self.channels, 3, d,
-                                              name=f'fuse_{i}')(x, train))
-        x = ConvBNReLU(self.channels, 1, name='fuse_bottleneck')(
+                branches.append(SepConvBNReLU(
+                    self.channels, 3, d, name=f'fuse_{i}')(x, train))
+        # ASPPWrapper bottleneck is 3x3 (ref daformer_head.py:63-70)
+        x = ConvBNReLU(self.channels, 3, name='fuse_bottleneck')(
             jnp.concatenate(branches, -1), train)
         return self._cls(x, train, return_last_feat)
 
 
-# ------------------------------------------------------------- PointRend
 @HEADS.register_module()
 @_head_fields
 class PointHead(nn.Module):

@@ -1113,6 +1113,58 @@ def test_dpt_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_daformer_head_ingestion_parity():
+    """DAFormerHead (daformer_head.py:124-191, canonical mlp embeds +
+    sep-ASPP fusion with 3x3 bottleneck)."""
+    from s4former_tpu.core.checkpoint import convert_daformer_head
+    torch.manual_seed(25)
+    cins, emb, dils = (6, 8, 10, 12), 8, (1, 2, 3)
+    embeds = torch.nn.ModuleList(torch.nn.Linear(c, emb) for c in cins)
+    branches = torch.nn.ModuleList(
+        [TorchConvModule(4 * emb, CH, 1)] +
+        [TorchSepConvModule(4 * emb, CH, 3, d) for d in dils[1:]])
+    bottleneck = TorchConvModule(len(dils) * CH, CH, 3)
+    conv_seg = torch.nn.Conv2d(CH, NCLS, 1)
+    sd = {}
+    for i, m in enumerate(embeds):
+        sd[f'embed_layers.{i}.proj.weight'] = m.weight
+        sd[f'embed_layers.{i}.proj.bias'] = m.bias
+    for i, m in enumerate(branches):
+        m.dump(sd, f'fuse_layer.aspp_modules.{i}')
+    bottleneck.dump(sd, 'fuse_layer.bottleneck')
+    _seg(sd, conv_seg)
+
+    for m in (*embeds, *branches, bottleneck, conv_seg):
+        m.eval()
+    rng = np.random.RandomState(25)
+    feats = [rng.randn(1, hw, hw, c).astype(np.float32)
+             for hw, c in zip((16, 8, 4, 2), cins)]
+    with torch.no_grad():
+        cs = []
+        for i, f in enumerate(feats):
+            t = embeds[i](torch.from_numpy(f))        # NHWC Linear
+            t = t.permute(0, 3, 1, 2)
+            if t.shape[2:] != (16, 16):
+                t = F.interpolate(t, size=(16, 16), mode='bilinear',
+                                  align_corners=False)
+            cs.append(t)
+        x = torch.cat(cs, 1)
+        outs = [m(x) for m in branches]
+        y = bottleneck(torch.cat(outs, 1))
+        ref = conv_seg(y).permute(0, 2, 3, 1).numpy()
+
+    got = _apply(dict(
+        type='DAFormerHead', in_channels=cins, channels=CH,
+        num_classes=NCLS, in_index=(0, 1, 2, 3), dropout_ratio=0,
+        decoder_params=dict(
+            embed_dims=emb, embed_cfg=dict(type='mlp'),
+            embed_neck_cfg='same_as_embed_cfg',
+            fusion_cfg=dict(type='aspp', sep=True, dilations=dils,
+                            pool=False))),
+        convert_daformer_head, _np_sd(sd), feats)
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""

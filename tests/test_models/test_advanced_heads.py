@@ -30,9 +30,15 @@ def test_dpt_head():
 
 
 def test_daformer_head():
-    head = HEADS.build(dict(type='DAFormerHead', in_channels=(32,) * 4,
-                            channels=16, num_classes=5, embed_dims=16,
-                            fusion_dilations=(1, 2), in_index=(0, 1, 2, 3)))
+    # reference config surface: decoder_params (daformer_head.py:126-156)
+    head = HEADS.build(dict(
+        type='DAFormerHead', in_channels=(32,) * 4, channels=16,
+        num_classes=5, in_index=(0, 1, 2, 3),
+        decoder_params=dict(
+            embed_dims=16, embed_cfg=dict(type='mlp'),
+            embed_neck_cfg='same_as_embed_cfg',
+            fusion_cfg=dict(type='aspp', sep=True, dilations=(1, 2),
+                            pool=False))))
     feats = _pyramid()
     v = head.init({'params': jax.random.PRNGKey(0)}, feats)
     out = head.apply(v, feats, train=False)
