@@ -2105,6 +2105,129 @@ def convert_setr_up_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_any_head(hd):
+    # same layout detection for main/aux/EMA head subtrees (a full
+    # SegFormer EncoderDecoder checkpoint carries SegformerHead aux/EMA
+    # twins; blindly running them through the SETR converter produced
+    # empty subtrees that merge_pretrained silently skipped)
+    if 'fusion_conv.conv.weight' in hd:      # SegformerHead layout
+        return convert_segformer_head(hd)
+    if 'scale_heads.0.0.conv.weight' in hd:  # FPNHead (semantic FPN)
+        return convert_fpn_head(hd)
+    if 'cls_emb' in hd:                      # Segmenter mask head
+        return convert_segmenter_mask_head(hd)
+    if 'up_convs.0.1.conv.weight' in hd:     # SETR-MLA (before PUP:
+        return convert_setr_mla_head(hd)     # PUP has one conv/level)
+    if 'lateral_convs.0.conv.weight' in hd:  # UPerHead
+        return convert_uper_head(hd)
+    if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead
+        return convert_psp_head(hd)
+    if 'aspp_modules.0.conv.weight' in hd:   # ASPP / DS-ASPP
+        return convert_aspp_head(hd)
+    if 'object_context_block.bottleneck.conv.weight' in hd:  # OCR
+        return convert_ocr_head(hd)
+    if 'cca.query_conv.weight' in hd:        # CCHead (before FCN)
+        return convert_cc_head(hd)
+    if 'convs.0.depthwise_conv.conv.weight' in hd:  # sep-FCN
+        return convert_sep_fcn_head(hd)
+    if 'conv_up_input.weight' in hd:         # LRASPP
+        return convert_lraspp_head(hd)
+    if 'nl_block.theta.conv.weight' in hd or \
+            'dnl_block.theta.conv.weight' in hd:  # NL / DNL
+        return convert_nl_head(hd)
+    if 'gc_block.conv_mask.weight' in hd:    # GCNet
+        return convert_gc_head(hd)
+    if 'acm_modules.0.gla.weight' in hd:     # APCNet
+        return convert_apc_head(hd)
+    if 'ema_module.bases' in hd:             # EMANet
+        return convert_ema_head(hd)
+    if 'global_relation.value_project.weight' in hd:  # ISA
+        return convert_isa_head(hd)
+    if 'pam.gamma.scale' in hd:              # DANet
+        return convert_da_head(hd)
+    if 'fusion.stages.0.key_project.conv.weight' in hd:  # ANN
+        return convert_ann_head(hd)
+    if 'enc_module.encoding.0.codewords' in hd:  # EncNet
+        return convert_enc_head(hd)
+    if 'attention.1.weight' in hd:           # PSANet
+        return convert_psa_head(hd)
+    if 'reassemble_blocks.projects.0.conv.weight' in hd:  # DPT
+        return convert_dpt_head(hd)
+    if 'embed_layers.0.proj.weight' in hd:   # DAFormer
+        return convert_daformer_head(hd)
+    if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
+        return convert_dm_head(hd)
+    if 'kernel_update_head.0.fc_mask.weight' in hd:  # K-Net
+        return convert_knet_head(hd)
+    if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
+        return convert_fcn_head(hd)
+    return convert_setr_up_head(hd)
+
+
+def convert_knet_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                      ) -> Tuple[Dict, Dict]:
+    """mmseg IterativeDecodeHead (knet_head.py: nested
+    kernel_generate_head [any head layout] + kernel_update_head.{i}
+    stages with mmcv MultiheadAttention / FFN / KernelUpdator Linears
+    and LNs) -> advanced_heads.IterativeDecodeHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    gen = {k[len(prefix) + 21:]: v for k, v in sd.items()
+           if k.startswith(prefix + 'kernel_generate_head.')}
+    if gen:
+        p['kernel_generate_head'], bs['kernel_generate_head'] = \
+            convert_any_head(gen)
+
+    def ln(key):
+        return {'scale': sd[key + '.weight'], 'bias': sd[key + '.bias']}
+
+    def lin(key, bias=True):
+        out = {'kernel': sd[key + '.weight'].T}
+        if bias and key + '.bias' in sd:
+            out['bias'] = sd[key + '.bias']
+        return out
+
+    i = 0
+    while prefix + f'kernel_update_head.{i}.fc_mask.weight' in sd:
+        pre = prefix + f'kernel_update_head.{i}.'
+        hp: Dict[str, Any] = {}
+        hb: Dict[str, Any] = {}
+        if pre + 'feat_transform.conv.weight' in sd:
+            hp['feat_transform'] = _biased_conv(sd,
+                                                pre + 'feat_transform.conv')
+        hp['attn_qkv'] = {
+            'kernel': sd[pre + 'attention.attn.in_proj_weight'].T,
+            'bias': sd[pre + 'attention.attn.in_proj_bias']}
+        hp['attn_out'] = lin(pre + 'attention.attn.out_proj')
+        hp['attention_norm'] = ln(pre + 'attention_norm')
+        ku = pre + 'kernel_update_conv.'
+        kp: Dict[str, Any] = {}
+        for name in ('dynamic_layer', 'input_layer', 'input_gate',
+                     'update_gate', 'fc_layer'):
+            kp[name] = lin(ku + name)
+        for name in ('norm_in', 'norm_out', 'input_norm_in',
+                     'input_norm_out', 'fc_norm', 'gate_norm'):
+            if ku + name + '.weight' in sd:
+                kp[name] = ln(ku + name)
+        hp['kernel_update_conv'] = kp
+        if pre + 'ffn.layers.0.0.weight' in sd:
+            hp['ffn_fc1'] = lin(pre + 'ffn.layers.0.0')
+            hp['ffn_fc2'] = lin(pre + 'ffn.layers.1')
+            hp['ffn_norm'] = ln(pre + 'ffn_norm')
+        j = 0
+        while pre + f'mask_fcs.{j * 3}.weight' in sd:
+            hp[f'mask_fc_{j}'] = lin(pre + f'mask_fcs.{j * 3}',
+                                     bias=False)
+            hp[f'mask_ln_{j}'] = ln(pre + f'mask_fcs.{j * 3 + 1}')
+            j += 1
+        hp['fc_mask'] = lin(pre + 'fc_mask')
+        p[f'kernel_update_head_{i}'] = hp
+        if hb:
+            bs[f'kernel_update_head_{i}'] = hb
+        i += 1
+    return p, bs
+
+
 def convert_mmseg_checkpoint(path_or_sd,
                              num_layers: int = 12,
                              dst_grid: Optional[Tuple[int, int]] = None,
@@ -2190,61 +2313,7 @@ def convert_mmseg_checkpoint(path_or_sd,
         p, b = convert_mla_neck(nk)
         params['neck_m'] = p
 
-    def convert_head(hd):
-        # same layout detection for main/aux/EMA head subtrees (a full
-        # SegFormer EncoderDecoder checkpoint carries SegformerHead aux/EMA
-        # twins; blindly running them through the SETR converter produced
-        # empty subtrees that merge_pretrained silently skipped)
-        if 'fusion_conv.conv.weight' in hd:      # SegformerHead layout
-            return convert_segformer_head(hd)
-        if 'scale_heads.0.0.conv.weight' in hd:  # FPNHead (semantic FPN)
-            return convert_fpn_head(hd)
-        if 'cls_emb' in hd:                      # Segmenter mask head
-            return convert_segmenter_mask_head(hd)
-        if 'up_convs.0.1.conv.weight' in hd:     # SETR-MLA (before PUP:
-            return convert_setr_mla_head(hd)     # PUP has one conv/level)
-        if 'lateral_convs.0.conv.weight' in hd:  # UPerHead
-            return convert_uper_head(hd)
-        if 'psp_modules.0.1.conv.weight' in hd:  # PSPHead
-            return convert_psp_head(hd)
-        if 'aspp_modules.0.conv.weight' in hd:   # ASPP / DS-ASPP
-            return convert_aspp_head(hd)
-        if 'object_context_block.bottleneck.conv.weight' in hd:  # OCR
-            return convert_ocr_head(hd)
-        if 'cca.query_conv.weight' in hd:        # CCHead (before FCN)
-            return convert_cc_head(hd)
-        if 'convs.0.depthwise_conv.conv.weight' in hd:  # sep-FCN
-            return convert_sep_fcn_head(hd)
-        if 'conv_up_input.weight' in hd:         # LRASPP
-            return convert_lraspp_head(hd)
-        if 'nl_block.theta.conv.weight' in hd or \
-                'dnl_block.theta.conv.weight' in hd:  # NL / DNL
-            return convert_nl_head(hd)
-        if 'gc_block.conv_mask.weight' in hd:    # GCNet
-            return convert_gc_head(hd)
-        if 'acm_modules.0.gla.weight' in hd:     # APCNet
-            return convert_apc_head(hd)
-        if 'ema_module.bases' in hd:             # EMANet
-            return convert_ema_head(hd)
-        if 'global_relation.value_project.weight' in hd:  # ISA
-            return convert_isa_head(hd)
-        if 'pam.gamma.scale' in hd:              # DANet
-            return convert_da_head(hd)
-        if 'fusion.stages.0.key_project.conv.weight' in hd:  # ANN
-            return convert_ann_head(hd)
-        if 'enc_module.encoding.0.codewords' in hd:  # EncNet
-            return convert_enc_head(hd)
-        if 'attention.1.weight' in hd:           # PSANet
-            return convert_psa_head(hd)
-        if 'reassemble_blocks.projects.0.conv.weight' in hd:  # DPT
-            return convert_dpt_head(hd)
-        if 'embed_layers.0.proj.weight' in hd:   # DAFormer
-            return convert_daformer_head(hd)
-        if 'dcm_modules.0.filter_gen_conv.weight' in hd:  # DMNet
-            return convert_dm_head(hd)
-        if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
-            return convert_fcn_head(hd)
-        return convert_setr_up_head(hd)
+    convert_head = convert_any_head
 
     if any(k.startswith('decode_head.0.') for k in sd):
         # CascadeEncoderDecoder checkpoint: decode_head.{i}. stage heads

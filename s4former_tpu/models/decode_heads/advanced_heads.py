@@ -309,74 +309,143 @@ class PointHead(nn.Module):
 
 # ----------------------------------------------------------------- K-Net
 class KernelUpdator(nn.Module):
-    """(knet_head.py:16-141): adaptive kernel update — gated fusion of the
-    group feature (mask-pooled) and the kernel feature."""
-    channels: int = 256
+    """(ref knet_head.py:16-140), exact structure: dynamic/input Linear
+    splits into in/out halves, gated fusion with LN-normalized gates,
+    fc_layer + fc_norm + ReLU. Coherent only when in_channels ==
+    feat_channels (the shipped mmseg configs; asserted)."""
+    in_channels: int = 256
+    feat_channels: int = 256
+    out_channels: Optional[int] = None
+    gate_sigmoid: bool = True
+    gate_norm_act: bool = False
+    activate_out: bool = False
 
     @nn.compact
-    def __call__(self, update_feat: Array, kernel_feat: Array) -> Array:
-        c = self.channels
-        # update_feat, kernel_feat: [B, N, C]
-        param = nn.Dense(2 * c, name='dynamic_layer')(update_feat)
-        param_in, param_out = jnp.split(param, 2, axis=-1)
-        input_feats = nn.Dense(2 * c, name='input_layer')(kernel_feat)
-        input_in, input_out = jnp.split(input_feats, 2, axis=-1)
-        gate_feats = input_in * nn.LayerNorm(name='norm_in')(param_in)
-        input_gate = nn.sigmoid(nn.LayerNorm(name='norm_ig')(
-            nn.Dense(c, name='input_gate')(gate_feats)))
-        update_gate = nn.sigmoid(nn.LayerNorm(name='norm_ug')(
-            nn.Dense(c, name='update_gate')(gate_feats)))
-        features = (update_gate *
-                    nn.LayerNorm(name='norm_uo')(param_out) +
-                    input_gate *
-                    nn.LayerNorm(name='norm_io')(input_out))
-        features = nn.relu(nn.LayerNorm(name='norm_fc')(
-            nn.Dense(c, name='fc_layer')(features)))
-        return features
+    def __call__(self, update_feature: Array,
+                 input_feature: Array) -> Array:
+        # update_feature [P, C]; input_feature [P, K*K, C]
+        c = self.feat_channels
+        assert self.in_channels == c, (
+            'KernelUpdator is only coherent with in_channels == '
+            'feat_channels (as in every shipped mmseg K-Net config)')
+        out_c = self.out_channels or self.in_channels
+        params = nn.Dense(2 * c, name='dynamic_layer')(update_feature)
+        param_in, param_out = params[:, :c], params[:, c:]
+        input_feats = nn.Dense(2 * c, name='input_layer')(input_feature)
+        input_in = input_feats[..., :c]
+        input_out = input_feats[..., c:]
+        gate_feats = input_in * param_in[:, None]
+        if self.gate_norm_act:
+            gate_feats = nn.relu(nn.LayerNorm(name='gate_norm')(gate_feats))
+        input_gate = nn.LayerNorm(name='input_norm_in')(
+            nn.Dense(c, name='input_gate')(gate_feats))
+        update_gate = nn.LayerNorm(name='norm_in')(
+            nn.Dense(c, name='update_gate')(gate_feats))
+        if self.gate_sigmoid:
+            input_gate = nn.sigmoid(input_gate)
+            update_gate = nn.sigmoid(update_gate)
+        param_out = nn.LayerNorm(name='norm_out')(param_out)
+        input_out = nn.LayerNorm(name='input_norm_out')(input_out)
+        if self.activate_out:
+            param_out = nn.relu(param_out)
+            input_out = nn.relu(input_out)
+        features = update_gate * param_out[:, None] + \
+            input_gate * input_out
+        features = nn.LayerNorm(name='fc_norm')(
+            nn.Dense(out_c, name='fc_layer')(features))
+        return nn.relu(features)
 
 
 class KernelUpdateHead(nn.Module):
-    """(knet_head.py:143-393): one K-Net stage — mask-pool group features,
-    update kernels, kernel MHA + FFN, predict new masks."""
-    channels: int = 256
+    """(ref knet_head.py:143-393), exact structure for the shipped
+    semantic configs (conv_kernel_size=1, strides 1): softmax-over-
+    proposals mask pooling, KernelUpdator, torch-style MHA over the
+    proposal axis + LN, mmcv FFN (residual) + LN, num_mask_fcs x
+    [bias-free Linear, LN, ReLU], fc_mask, per-proposal dynamic 1x1
+    "conv" as an einsum."""
+    in_channels: int = 256
+    out_channels: int = 256
     num_heads: int = 8
-    mask_thr: float = 0.5
+    num_mask_fcs: int = 3
+    feedforward_channels: int = 2048
+    conv_kernel_size: int = 1
+    with_ffn: bool = True
+    feat_transform: bool = True
+    kernel_updator_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, feats: Array, kernels: Array, masks: Array,
                  train: bool = False):
-        b, h, w, c = feats.shape
-        n = kernels.shape[1]
-        # hard-assign group features (knet_head.py:300-318)
-        gates = (jax.nn.sigmoid(masks) > self.mask_thr).astype(feats.dtype)
-        group = jnp.einsum('bhwn,bhwc->bnc', gates, feats)
-        kernels = KernelUpdator(self.channels, name='updator')(
-            group, kernels)
-        # kernel interaction: MHA over the N kernels + FFN
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, name='attn')(kernels, kernels)
-        kernels = nn.LayerNorm(name='attn_norm')(kernels + attn)
-        y = nn.Dense(4 * self.channels, name='ffn1')(kernels)
-        y = nn.Dense(self.channels, name='ffn2')(nn.relu(y))
-        kernels = nn.LayerNorm(name='ffn_norm')(kernels + y)
-        # mask head: new masks = <kernel, pixel features>
-        k = nn.Dense(self.channels, name='mask_fc')(kernels)
-        new_masks = jnp.einsum('bnc,bhwc->bhwn', k, feats)
-        return kernels, new_masks
+        # feats [B,H,W,C]; kernels [B,np,C] (K=1); masks [B,H',W',np]
+        if self.conv_kernel_size != 1:
+            raise NotImplementedError(
+                'conv_kernel_size > 1 (every shipped mmseg semantic '
+                'K-Net config uses 1; disclosed in PARITY.md)')
+        c = self.in_channels
+        b, h, w, _ = feats.shape
+        np_ = kernels.shape[1]
+        x = feats
+        if self.feat_transform:
+            x = nn.Conv(c, (1, 1), name='feat_transform')(x)
+        gm = masks
+        if gm.shape[1:3] != (h, w):
+            gm = resize_bilinear(gm, (h, w), False)
+        sigmoid_masks = jax.nn.softmax(gm, axis=-1)   # over proposals
+        x_feat = jnp.einsum('bhwn,bhwc->bnc', sigmoid_masks, x)
+        ku_cfg = dict(self.kernel_updator_cfg or dict(
+            in_channels=c, feat_channels=c, out_channels=c))
+        ku_cfg.pop('type', None)
+        ku_cfg.pop('norm_cfg', None)
+        ku_cfg.pop('act_cfg', None)
+        obj = KernelUpdator(name='kernel_update_conv', **ku_cfg)(
+            x_feat.reshape(b * np_, c), kernels.reshape(b * np_, 1, c))
+        obj = obj.reshape(b, np_, c)
+        # torch nn.MultiheadAttention over the proposal axis
+        e = c * self.conv_kernel_size ** 2
+        qkv = nn.Dense(3 * e, name='attn_qkv')(obj)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = e // self.num_heads
+        q = q.reshape(b, np_, self.num_heads, hd)
+        k = k.reshape(b, np_, self.num_heads, hd)
+        v = v.reshape(b, np_, self.num_heads, hd)
+        a = jax.nn.softmax(
+            jnp.einsum('bqnc,bknc->bnqk', q, k) * hd ** -0.5, -1)
+        att = jnp.einsum('bnqk,bknc->bqnc', a, v).reshape(b, np_, e)
+        att = nn.Dense(e, name='attn_out')(att)
+        obj = nn.LayerNorm(name='attention_norm')(obj + att)
+        if self.with_ffn:
+            y = nn.Dense(self.feedforward_channels, name='ffn_fc1')(obj)
+            y = nn.Dense(c, name='ffn_fc2')(nn.relu(y))
+            obj = nn.LayerNorm(name='ffn_norm')(obj + y)
+        mask_feat = obj
+        for j in range(self.num_mask_fcs):
+            mask_feat = nn.Dense(c, use_bias=False,
+                                 name=f'mask_fc_{j}')(mask_feat)
+            mask_feat = nn.relu(nn.LayerNorm(name=f'mask_ln_{j}')(
+                mask_feat))
+        mask_feat = nn.Dense(self.out_channels, name='fc_mask')(mask_feat)
+        # per-proposal dynamic 1x1 conv == einsum for K=1
+        new_masks = jnp.einsum('bhwc,bnc->bhwn', x, mask_feat)
+        return obj, new_masks
 
 
 @HEADS.register_module()
 @_head_fields
 class IterativeDecodeHead(_HeadBase):
-    """(knet_head.py:395-453, K-Net): a kernel-generate head (FCN-style)
-    produces seg kernels + initial masks; ``num_stages`` KernelUpdateHeads
-    refine them. For semantic seg the N kernels ARE the classes, so the
-    final masks are the logits."""
-    in_channels: int = 512
+    """(ref knet_head.py:395-453), exact structure: the kernel-generate
+    head (ANY registered head; its conv_seg WEIGHT seeds the kernels)
+    produces feats + initial masks; ``num_stages`` KernelUpdateHeads
+    refine kernels and masks. Returns the LAST stage's masks as logits;
+    intermediate stage logits are exposed via
+    ``sow('intermediates', 'stage_segs')`` (the reference's per-stage
+    losses are not wired into the semi train step — disclosed)."""
+    in_channels: Union[int, Sequence[int]] = 512
     channels: int = 256
     num_classes: int = 21
     num_stages: int = 3
-    num_heads: int = 8
+    kernel_generate_head: Optional[dict] = None
+    kernel_update_head: Optional[Sequence[dict]] = None
+    num_heads: int = 8  # legacy fallback when kernel_update_head is None
     in_index: Union[int, Sequence[int]] = -1
     input_transform: Optional[str] = None
 
@@ -384,18 +453,39 @@ class IterativeDecodeHead(_HeadBase):
     def __call__(self, inputs, *, train: bool = False,
                  patchmix_perm: Optional[Array] = None,
                  patchmix_n: int = 0, return_last_feat: bool = False):
-        x = self._pick(inputs, patchmix_perm, patchmix_n)
-        feats = ConvBNReLU(self.channels, 3, name='kernel_generate')(
-            x, train)
-        masks = nn.Conv(self.num_classes, (1, 1), name='init_seg')(feats)
-        kernels = self.param(
-            'kernels', nn.initializers.normal(0.02),
-            (1, self.num_classes, self.channels))
+        gen_cfg = dict(self.kernel_generate_head or dict(
+            type='FCNHead', in_channels=self.in_channels,
+            channels=self.channels, num_classes=self.num_classes,
+            num_convs=1, concat_input=False, in_index=self.in_index,
+            dropout_ratio=0))
+        gen = HEADS.build(dict(gen_cfg, name='kernel_generate_head'))
+        sem_seg, feats = gen(inputs, train=train,
+                             patchmix_perm=patchmix_perm,
+                             patchmix_n=patchmix_n, return_last_feat=True)
+        # seg kernels = the generate head's conv_seg weight
+        # (ref :440-443); flax kernel [1, 1, C, ncls] -> [B, ncls, C]
+        w = gen.variables['params']['conv_seg']['kernel']
         kernels = jnp.broadcast_to(
-            kernels, (x.shape[0], self.num_classes, self.channels))
+            w[0, 0].T[None], (feats.shape[0], w.shape[-1], w.shape[2]))
+        update_cfgs = self.kernel_update_head or [
+            dict(in_channels=self.channels, out_channels=self.channels,
+                 num_heads=self.num_heads,
+                 feedforward_channels=4 * self.channels)
+        ] * self.num_stages
+        masks = sem_seg
+        stage_segs = [sem_seg]
         for i in range(self.num_stages):
+            cfg = dict(update_cfgs[i if i < len(update_cfgs) else -1])
+            cfg.pop('type', None)
+            for drop in ('num_classes', 'num_ffn_fcs', 'act_cfg',
+                         'ffn_act_cfg', 'dropout', 'feat_gather_stride',
+                         'mask_transform_stride', 'kernel_init',
+                         'feat_transform_cfg'):
+                cfg.pop(drop, None)
             kernels, masks = KernelUpdateHead(
-                self.channels, self.num_heads, name=f'stage_{i}')(
+                name=f'kernel_update_head_{i}', **cfg)(
                     feats, kernels, masks, train)
+            stage_segs.append(masks)
+        self.sow('intermediates', 'stage_segs', tuple(stage_segs))
         logits = masks.astype(jnp.float32)
         return (logits, feats) if return_last_feat else logits

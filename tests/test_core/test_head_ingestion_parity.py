@@ -1165,6 +1165,161 @@ def test_daformer_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_knet_head_ingestion_parity():
+    """IterativeDecodeHead (knet_head.py:16-453): seg kernels seeded
+    from the generate head's conv_seg weight, KernelUpdator gating, MHA
+    over proposals, FFN, mask fcs, dynamic 1x1 conv."""
+    from s4former_tpu.core.checkpoint import convert_knet_head
+    torch.manual_seed(26)
+    cin, c, heads, ffn_ch = 12, 8, 2, 16
+
+    class TorchKUpdator(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dynamic_layer = torch.nn.Linear(c, 2 * c)
+            self.input_layer = torch.nn.Linear(c, 2 * c)
+            self.input_gate = torch.nn.Linear(c, c)
+            self.update_gate = torch.nn.Linear(c, c)
+            for n in ('norm_in', 'norm_out', 'input_norm_in',
+                      'input_norm_out', 'fc_norm'):
+                setattr(self, n, torch.nn.LayerNorm(c))
+            self.fc_layer = torch.nn.Linear(c, c)
+
+        def forward(self, upd, inp):
+            upd = upd.reshape(-1, c)
+            params = self.dynamic_layer(upd)
+            p_in, p_out = params[:, :c], params[:, c:]
+            feats = self.input_layer(inp.reshape(upd.size(0), -1, c))
+            i_in, i_out = feats[..., :c], feats[..., c:]
+            gate = i_in * p_in.unsqueeze(-2)
+            ig = torch.sigmoid(self.input_norm_in(self.input_gate(gate)))
+            ug = torch.sigmoid(self.norm_in(self.update_gate(gate)))
+            p_out = self.norm_out(p_out)
+            i_out = self.input_norm_out(i_out)
+            f = ug * p_out.unsqueeze(-2) + ig * i_out
+            return F.relu(self.fc_norm(self.fc_layer(f)))
+
+        def dump(self, sd, pre):
+            for n in ('dynamic_layer', 'input_layer', 'input_gate',
+                      'update_gate', 'fc_layer', 'norm_in', 'norm_out',
+                      'input_norm_in', 'input_norm_out', 'fc_norm'):
+                m = getattr(self, n)
+                sd[pre + n + '.weight'] = m.weight
+                sd[pre + n + '.bias'] = m.bias
+
+    class TorchKUH(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feat_transform = torch.nn.Conv2d(c, c, 1)
+            self.attn = torch.nn.MultiheadAttention(c, heads,
+                                                    batch_first=False)
+            self.attention_norm = torch.nn.LayerNorm(c)
+            self.ku = TorchKUpdator()
+            self.ffn1 = torch.nn.Linear(c, ffn_ch)
+            self.ffn2 = torch.nn.Linear(ffn_ch, c)
+            self.ffn_norm = torch.nn.LayerNorm(c)
+            self.mask_fcs = torch.nn.ModuleList()
+            self.mask_lns = torch.nn.ModuleList()
+            for _ in range(3):
+                self.mask_fcs.append(torch.nn.Linear(c, c, bias=False))
+                self.mask_lns.append(torch.nn.LayerNorm(c))
+            self.fc_mask = torch.nn.Linear(c, c)
+
+        def forward(self, x, kernels, masks):
+            n, _, h, w = x.shape
+            np_ = kernels.size(1)
+            x = self.feat_transform(x)
+            sm = masks.softmax(dim=1)
+            x_feat = torch.einsum('bnhw,bchw->bnc', sm, x)
+            obj = self.ku(x_feat, kernels.unsqueeze(2))
+            obj = obj.reshape(n, np_, -1).permute(1, 0, 2)
+            obj = self.attention_norm(
+                self.attn(obj, obj, obj, need_weights=False)[0] + obj)
+            obj = obj.permute(1, 0, 2)
+            obj = self.ffn_norm(obj + self.ffn2(F.relu(self.ffn1(obj))))
+            mf = obj
+            for fc, lnm in zip(self.mask_fcs, self.mask_lns):
+                mf = F.relu(lnm(fc(mf)))
+            mf = self.fc_mask(mf)
+            new_masks = torch.einsum('bchw,bnc->bnhw', x, mf)
+            return obj, new_masks
+
+        def dump(self, sd, pre):
+            sd[pre + 'feat_transform.conv.weight'] = \
+                self.feat_transform.weight
+            sd[pre + 'feat_transform.conv.bias'] = \
+                self.feat_transform.bias
+            sd[pre + 'attention.attn.in_proj_weight'] = \
+                self.attn.in_proj_weight
+            sd[pre + 'attention.attn.in_proj_bias'] = \
+                self.attn.in_proj_bias
+            sd[pre + 'attention.attn.out_proj.weight'] = \
+                self.attn.out_proj.weight
+            sd[pre + 'attention.attn.out_proj.bias'] = \
+                self.attn.out_proj.bias
+            for n, m in (('attention_norm', self.attention_norm),
+                         ('ffn_norm', self.ffn_norm)):
+                sd[pre + n + '.weight'] = m.weight
+                sd[pre + n + '.bias'] = m.bias
+            self.ku.dump(sd, pre + 'kernel_update_conv.')
+            sd[pre + 'ffn.layers.0.0.weight'] = self.ffn1.weight
+            sd[pre + 'ffn.layers.0.0.bias'] = self.ffn1.bias
+            sd[pre + 'ffn.layers.1.weight'] = self.ffn2.weight
+            sd[pre + 'ffn.layers.1.bias'] = self.ffn2.bias
+            for j in range(3):
+                sd[pre + f'mask_fcs.{j * 3}.weight'] = \
+                    self.mask_fcs[j].weight
+                sd[pre + f'mask_fcs.{j * 3 + 1}.weight'] = \
+                    self.mask_lns[j].weight
+                sd[pre + f'mask_fcs.{j * 3 + 1}.bias'] = \
+                    self.mask_lns[j].bias
+            sd[pre + 'fc_mask.weight'] = self.fc_mask.weight
+            sd[pre + 'fc_mask.bias'] = self.fc_mask.bias
+
+    gen_conv = TorchConvModule(cin, c, 3)
+    gen_seg = torch.nn.Conv2d(c, NCLS, 1)
+    stages = torch.nn.ModuleList([TorchKUH(), TorchKUH()])
+    sd = {}
+    gen_conv.dump(sd, 'kernel_generate_head.convs.0')
+    _seg(sd, gen_seg, 'kernel_generate_head.conv_seg')
+    for i, m in enumerate(stages):
+        m.dump(sd, f'kernel_update_head.{i}.')
+
+    for m in (gen_conv, gen_seg, *stages):
+        m.eval()
+    rng = np.random.RandomState(26)
+    feat = rng.randn(2, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        raw = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        feats = gen_conv(raw)
+        masks = gen_seg(feats)
+        kernels = gen_seg.weight[:, :, 0, 0][None].expand(2, NCLS, c)
+        for m in stages:
+            kernels, masks = m(feats, kernels, masks)
+        ref = masks.permute(0, 2, 3, 1).numpy()
+
+    head = build_head(dict(
+        type='IterativeDecodeHead', in_channels=cin, channels=c,
+        num_classes=NCLS, num_stages=2,
+        kernel_generate_head=dict(
+            type='FCNHead', in_channels=cin, channels=c, num_convs=1,
+            concat_input=False, num_classes=NCLS, in_index=0,
+            dropout_ratio=0),
+        kernel_update_head=[dict(in_channels=c, out_channels=c,
+                                 num_heads=heads,
+                                 feedforward_channels=ffn_ch)] * 2,
+        in_index=0))
+    inputs = [jnp.asarray(feat)]
+    variables = head.init(jax.random.PRNGKey(0), inputs, train=False)
+    p, bs = convert_knet_head(_np_sd(sd))
+    variables = merge_pretrained(variables,
+                                 {'params': p, 'batch_stats': bs},
+                                 strict=True)
+    got = np.asarray(head.apply(variables, inputs, train=False,
+                                mutable=['intermediates'])[0])
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""

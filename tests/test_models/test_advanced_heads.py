@@ -79,8 +79,11 @@ def test_knet_iterative_head():
     out = head.apply(v, feats, train=False)
     assert out.shape == (B, 8, 8, 5)
     assert np.isfinite(np.asarray(out)).all()
-    # kernels actually refine: stage params exist per stage
-    assert 'stage_0' in v['params'] and 'stage_1' in v['params']
+    # kernels actually refine: stage params exist per stage (reference
+    # module names since the round-4 exact rebuild)
+    assert 'kernel_update_head_0' in v['params']
+    assert 'kernel_update_head_1' in v['params']
+    assert 'kernel_generate_head' in v['params']
 
 
 def test_point_sample_matches_torch_grid_sample():
