@@ -2164,6 +2164,24 @@ def convert_any_head(hd):
     return convert_setr_up_head(hd)
 
 
+def convert_projection_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                            ) -> Tuple[Dict, Dict]:
+    """S4Former ProjectionHead (projection_head.py:10-60: proj/predict
+    towers of Linear+BN1d+ReLU+Linear) -> projection.ProjectionHead."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for tower in ('proj', 'predict'):
+        for idx, ours in ((0, f'{tower}_fc1'), (3, f'{tower}_fc2')):
+            p[ours] = {'kernel': sd[prefix + f'{tower}.{idx}.weight'].T,
+                       'bias': sd[prefix + f'{tower}.{idx}.bias']}
+        p[f'{tower}_bn'] = {'scale': sd[prefix + f'{tower}.1.weight'],
+                            'bias': sd[prefix + f'{tower}.1.bias']}
+        bs[f'{tower}_bn'] = {
+            'mean': sd[prefix + f'{tower}.1.running_mean'],
+            'var': sd[prefix + f'{tower}.1.running_var']}
+    return p, bs
+
+
 def convert_knet_head(sd: Dict[str, np.ndarray], prefix: str = ''
                       ) -> Tuple[Dict, Dict]:
     """mmseg IterativeDecodeHead (knet_head.py: nested

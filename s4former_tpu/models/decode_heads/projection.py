@@ -21,22 +21,35 @@ Array = jax.Array
 
 @HEADS.register_module()
 class ProjectionHead(nn.Module):
-    """MLP projector: feature map -> l2-normalized embedding map."""
+    """(ref projection_head.py:10-60, the ACTIVE class — the
+    BaseDecodeHead variant below it is commented out): two towers of
+    Linear -> BatchNorm1d -> ReLU -> Linear. ``__call__`` is the
+    reference's ``forward`` (proj tower); ``predict_proj`` applies the
+    predictor tower. Input is flat [P, in_channels] pixel features (the
+    BN1d statistics pool over P)."""
     in_channels: int = 768
     channels: int = 256
-    num_layers: int = 2
     in_index: int = -1
     init_cfg: Optional[Union[dict, list]] = None
 
+    def _tower(self, x, name, train):
+        x = nn.Dense(self.channels, name=f'{name}_fc1')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name=f'{name}_bn')(x)
+        x = nn.relu(x)
+        return nn.Dense(self.channels, name=f'{name}_fc2')(x)
+
     @nn.compact
-    def __call__(self, inputs, *, train: bool = False, **kwargs) -> Array:
+    def __call__(self, inputs, *, train: bool = False,
+                 predict: bool = False, **kwargs) -> Array:
         x = inputs[self.in_index] if isinstance(inputs, (list, tuple)) \
             else inputs
-        for i in range(self.num_layers - 1):
-            x = nn.relu(nn.Dense(self.channels, name=f'fc{i}')(x))
-        x = nn.Dense(self.channels, name=f'fc{self.num_layers - 1}')(x)
-        return x / jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        proj = self._tower(x, 'proj', train)
+        # BYOL-style predictor (ref predict_proj) applied to the
+        # projection; both towers always materialize so ingestion maps
+        # the full state_dict
+        pred = self._tower(proj, 'predict', train)
+        return pred if predict else proj
 
 
 @HEADS.register_module()

@@ -1320,6 +1320,58 @@ def test_knet_head_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
 
 
+def test_projection_head_ingestion_parity():
+    """S4Former ProjectionHead (projection_head.py:10-60): proj +
+    predict towers (Linear, BN1d, ReLU, Linear)."""
+    from s4former_tpu.core.checkpoint import convert_projection_head
+    from s4former_tpu.registry import HEADS as REG
+    torch.manual_seed(27)
+    cin, ch = 12, 8
+    towers = {}
+    sd = {}
+    for name in ('proj', 'predict'):
+        inc = cin if name == 'proj' else ch
+        fc1 = torch.nn.Linear(inc, ch)
+        bn = torch.nn.BatchNorm1d(ch)
+        fc2 = torch.nn.Linear(ch, ch)
+        with torch.no_grad():
+            bn.running_mean.normal_(0, 0.3)
+            bn.running_var.uniform_(0.5, 2.0)
+        towers[name] = (fc1, bn, fc2)
+        sd[f'{name}.0.weight'] = fc1.weight
+        sd[f'{name}.0.bias'] = fc1.bias
+        for a in ('weight', 'bias', 'running_mean', 'running_var'):
+            sd[f'{name}.1.{a}'] = getattr(bn, a)
+        sd[f'{name}.3.weight'] = fc2.weight
+        sd[f'{name}.3.bias'] = fc2.bias
+
+    for mods in towers.values():
+        for m in mods:
+            m.eval()
+    rng = np.random.RandomState(27)
+    feat = rng.randn(16, cin).astype(np.float32)
+    with torch.no_grad():
+        x = torch.from_numpy(feat)
+        f1, bn, f2 = towers['proj']
+        proj = f2(F.relu(bn(f1(x))))
+        f1, bn, f2 = towers['predict']
+        pred = f2(F.relu(bn(f1(proj)))).numpy()
+        proj = proj.numpy()
+
+    head = REG.build(dict(type='ProjectionHead', in_channels=cin,
+                          channels=ch))
+    variables = head.init(jax.random.PRNGKey(0), jnp.asarray(feat))
+    p, bs = convert_projection_head(_np_sd(sd))
+    variables = merge_pretrained(variables,
+                                 {'params': p, 'batch_stats': bs},
+                                 strict=True)
+    got_proj = np.asarray(head.apply(variables, jnp.asarray(feat)))
+    got_pred = np.asarray(head.apply(variables, jnp.asarray(feat),
+                                     predict=True))
+    np.testing.assert_allclose(got_proj, proj, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_pred, pred, rtol=2e-4, atol=2e-4)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
