@@ -1372,6 +1372,35 @@ def test_projection_head_ingestion_parity():
     np.testing.assert_allclose(got_pred, pred, rtol=2e-4, atol=2e-4)
 
 
+def test_stdc_boundary_targets_parity():
+    """stdc_boundary_targets vs a literal port of STDCHead.losses'
+    boundary construction (stdc_head.py:29-85)."""
+    from s4former_tpu.models.decode_heads.extra_heads import \
+        stdc_boundary_targets
+    rng = np.random.RandomState(28)
+    label = rng.randint(0, 5, (2, 17, 19)).astype(np.float32)
+    lk = torch.tensor([-1, -1, -1, -1, 8, -1, -1, -1, -1],
+                      dtype=torch.float32).reshape(1, 1, 3, 3)
+    fk = torch.tensor([[6. / 10], [3. / 10], [1. / 10]],
+                      dtype=torch.float32).reshape(1, 3, 1, 1)
+    th = 0.1
+    with torch.no_grad():
+        x = torch.from_numpy(label)[:, None]
+        b1 = F.conv2d(x, lk, padding=1).clamp(min=0)
+        b1 = (b1 > th).float()
+        b2 = F.conv2d(x, lk, stride=2, padding=1).clamp(min=0)
+        b4 = F.conv2d(x, lk, stride=4, padding=1).clamp(min=0)
+        b2 = (F.interpolate(b2, b1.shape[2:], mode='nearest') > th).float()
+        b4 = (F.interpolate(b4, b1.shape[2:], mode='nearest') > th).float()
+        pyr = torch.stack((b1, b2, b4), dim=1).squeeze(2)
+        fused = F.conv2d(pyr, fk)
+        ref = (fused > th).float()[:, 0].numpy()
+
+    got = np.asarray(stdc_boundary_targets(
+        jnp.asarray(label.astype(np.int32)), th))
+    np.testing.assert_allclose(got, ref)
+
+
 def test_sep_fcn_head_ingestion_parity():
     """DepthwiseSeparableFCNHead (sep_fcn_head.py): dw_act_cfg=None, so
     every depthwise conv is BN-only."""
