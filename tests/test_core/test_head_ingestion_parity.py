@@ -1372,6 +1372,78 @@ def test_projection_head_ingestion_parity():
     np.testing.assert_allclose(got_pred, pred, rtol=2e-4, atol=2e-4)
 
 
+def test_feature_contrast_v1_ingestion_parity():
+    """FeatureContrast v1 (feature_contrast.py:116-190): selector-
+    weighted (1-cos) loss, eval-mode BN; the memory-side rescale is the
+    reference's (1/w)*w == 1 no-op."""
+    from s4former_tpu.core.checkpoint import convert_feature_contrast
+    from s4former_tpu.registry import HEADS as REG
+    torch.manual_seed(29)
+    d, c, nmem, pix = 8, 3, 6, 20
+
+    def make_sel():
+        return torch.nn.Sequential(
+            torch.nn.Linear(d, d), torch.nn.BatchNorm1d(d),
+            torch.nn.LeakyReLU(0.2), torch.nn.Linear(d, 1))
+
+    sels = [make_sel() for _ in range(c)]
+    sels_m = [make_sel() for _ in range(c)]
+    sd = {}
+    for name, mods in (('contrastive_class_selector_', sels),
+                       ('contrastive_class_selector_memory', sels_m)):
+        for ci, m in enumerate(mods):
+            pre = f'Selectors_head.{name}{ci}.'
+            with torch.no_grad():
+                m[1].running_mean.normal_(0, 0.3)
+                m[1].running_var.uniform_(0.5, 2.0)
+            sd[pre + '0.weight'] = m[0].weight
+            sd[pre + '0.bias'] = m[0].bias
+            for a in ('weight', 'bias', 'running_mean', 'running_var'):
+                sd[f'{pre}1.{a}'] = getattr(m[1], a)
+            sd[pre + '3.weight'] = m[3].weight
+            sd[pre + '3.bias'] = m[3].bias
+            m.eval()
+
+    rng = np.random.RandomState(29)
+    feats = rng.randn(pix, d).astype(np.float32)
+    labels = rng.randint(0, c, (pix,)).astype(np.int32)
+    bank = rng.randn(c, nmem, d).astype(np.float32)
+    count = np.array([nmem, 4, 0], np.int32)  # class 2 inactive
+    with torch.no_grad():
+        loss = 0.0
+        tf = torch.from_numpy(feats)
+        for ci in range(c):
+            mc = torch.from_numpy(labels) == ci
+            fc = tf[mc]
+            n_c = int(count[ci])
+            if n_c > 1 and fc.shape[0] > 1:
+                mem = F.normalize(torch.from_numpy(bank[ci, :n_c]), dim=1)
+                fn = F.normalize(fc, dim=1)
+                distances = 1 - torch.mm(fn, mem.t())
+                w = torch.sigmoid(sels[ci](fc))
+                w = (w.shape[0] / w.sum(dim=0)) * w
+                distances = distances * w.repeat(1, distances.shape[1])
+                wm = torch.sigmoid(sels_m[ci](mem)).permute(1, 0)
+                wm = (wm.shape[0] / wm.sum(dim=0)) * wm
+                distances = distances * wm.repeat(distances.shape[0], 1)
+                loss = loss + distances.mean()
+        ref = float(loss) / c
+
+    mod = REG.build(dict(type='FeatureContrast', channels=d,
+                         num_classes=c, num_samples=4))
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                         jnp.asarray(labels), jnp.asarray(bank),
+                         jnp.asarray(count))
+    p, bs = convert_feature_contrast(_np_sd(sd))
+    variables = merge_pretrained(variables,
+                                 {'params': p, 'batch_stats': bs},
+                                 strict=True)
+    got = float(mod.apply(variables, jnp.asarray(feats),
+                          jnp.asarray(labels), jnp.asarray(bank),
+                          jnp.asarray(count)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_stdc_boundary_targets_parity():
     """stdc_boundary_targets vs a literal port of STDCHead.losses'
     boundary construction (stdc_head.py:29-85)."""
