@@ -78,22 +78,30 @@ class DiceLoss:
 
     def __call__(self, logits: Array, label: Array,
                  ignore_index: Optional[int] = None, **kwargs) -> Array:
+        # exact reference semantics (dice_loss.py:10-45 + forward):
+        # PER-IMAGE binary dice per class; the numerator is valid-masked
+        # but the DENOMINATOR is not (the ref only masks torch.mul(pred,
+        # target)); targets are CLAMPED one-hots (ignore pixels land in
+        # class 0 of the target and still feed the denominator); class
+        # losses sum / num_classes, then mean over images.
         ignore = self.ignore_index if ignore_index is None else ignore_index
         num_classes = logits.shape[-1]
+        b = logits.shape[0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        valid = (label != ignore)
-        safe = jnp.where(valid, label, 0).astype(jnp.int32)
-        onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
-        onehot = onehot * valid[..., None]
-        probs = probs * valid[..., None]
-        dims = tuple(range(probs.ndim - 1))
-        num = 2.0 * jnp.sum(probs * onehot, axis=dims) + self.smooth
-        den = jnp.sum(probs ** self.exponent, axis=dims) + \
-            jnp.sum(onehot ** self.exponent, axis=dims) + self.smooth
-        dice = 1.0 - num / den
+        probs = probs.reshape(b, -1, num_classes)
+        lab = label.reshape(b, -1)
+        valid = (lab != ignore).astype(jnp.float32)
+        clamped = jnp.clip(lab, 0, num_classes - 1).astype(jnp.int32)
+        onehot = jax.nn.one_hot(clamped, num_classes, dtype=jnp.float32)
+        num = 2.0 * jnp.sum(probs * onehot * valid[..., None],
+                            axis=1) + self.smooth            # [B, C]
+        den = jnp.sum(probs ** self.exponent +
+                      onehot ** self.exponent, axis=1) + self.smooth
+        dice = 1.0 - num / den                               # [B, C]
         if self.class_weight is not None:
             dice = dice * jnp.asarray(self.class_weight, jnp.float32)
-        return self.loss_weight * jnp.mean(dice)
+        per_image = jnp.sum(dice, axis=1) / num_classes
+        return self.loss_weight * jnp.mean(per_image)
 
 
 @LOSSES.register_module()
@@ -123,9 +131,11 @@ class FocalLoss:
         bce = jnp.maximum(logits, 0) - logits * onehot + \
             jnp.log1p(jnp.exp(-jnp.abs(logits)))
         per = alpha_t * ((1 - pt) ** self.gamma) * bce
-        per = jnp.sum(per, axis=-1) * valid
-        return self.loss_weight * jnp.sum(per) / \
-            jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        # reference reduction (focal_loss.py + utils.weight_reduce_loss):
+        # final_weight = valid_mask broadcast over classes, then a plain
+        # .mean() over ALL N*C elements — NOT a valid-count mean
+        per = per * valid[..., None]
+        return self.loss_weight * jnp.mean(per)
 
 
 def _lovasz_grad(gt_sorted: Array) -> Array:

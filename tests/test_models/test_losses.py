@@ -95,6 +95,110 @@ def test_ohem_keeps_hardest():
     assert v > 5.0
 
 
+def test_lovasz_matches_torch_reference():
+    """LovaszLoss vs a literal torch port of the reference
+    lovasz_softmax (lovasz_loss.py:15-170, classes='present', ignore
+    pixels filtered)."""
+    import torch
+
+    def lovasz_grad(gt_sorted):
+        p = len(gt_sorted)
+        gts = gt_sorted.sum()
+        inter = gts - gt_sorted.float().cumsum(0)
+        union = gts + (1 - gt_sorted).float().cumsum(0)
+        jac = 1. - inter / union
+        if p > 1:
+            jac[1:p] = jac[1:p] - jac[0:-1]
+        return jac
+
+    def ref_flat(probs, labels):
+        C = probs.size(1)
+        losses = []
+        for c in range(C):
+            fg = (labels == c).float()
+            if fg.sum() == 0:
+                continue
+            errors = (fg - probs[:, c]).abs()
+            errors_sorted, perm = torch.sort(errors, 0, descending=True)
+            fg_sorted = fg[perm]
+            losses.append(torch.dot(errors_sorted,
+                                    lovasz_grad(fg_sorted)))
+        return torch.stack(losses).mean()
+
+    rng = np.random.RandomState(30)
+    logits = rng.randn(2, 6, 7, 4).astype(np.float32)
+    label = rng.randint(0, 4, (2, 6, 7)).astype(np.int32)
+    label[0, :2] = 255  # ignored band
+    with torch.no_grad():
+        probs = torch.softmax(torch.from_numpy(logits).reshape(-1, 4), 1)
+        flat_l = torch.from_numpy(label.astype(np.int64)).reshape(-1)
+        valid = flat_l != 255
+        ref = float(ref_flat(probs[valid], flat_l[valid]))
+
+    loss = LOSSES.build(dict(type='LovaszLoss', ignore_index=255))
+    got = float(loss(jnp.asarray(logits), jnp.asarray(label)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dice_matches_torch_reference():
+    """DiceLoss vs a literal torch port of the reference dice_loss
+    (dice_loss.py:10-45 + DiceLoss.forward): per-image, clamped one-hot
+    targets, valid mask on the numerator ONLY."""
+    import torch
+    rng = np.random.RandomState(31)
+    logits = rng.randn(2, 5, 6, 4).astype(np.float32)
+    label = rng.randint(0, 4, (2, 5, 6)).astype(np.int32)
+    label[1, :2] = 255
+    smooth, exponent = 1.0, 2.0
+    with torch.no_grad():
+        pred = torch.softmax(torch.from_numpy(logits), -1)  # NHWC
+        lab = torch.from_numpy(label.astype(np.int64))
+        valid = (lab != 255).float()
+        onehot = torch.nn.functional.one_hot(lab.clamp(0, 3), 4).float()
+        total = 0.0
+        for i in range(4):
+            p = pred[..., i].reshape(2, -1)
+            t = onehot[..., i].reshape(2, -1)
+            v = valid.reshape(2, -1)
+            num = (p * t * v).sum(1) * 2 + smooth
+            den = (p.pow(exponent) + t.pow(exponent)).sum(1) + smooth
+            total = total + (1 - num / den)
+        ref = float((total / 4).mean())
+
+    loss = LOSSES.build(dict(type='DiceLoss', ignore_index=255))
+    got = float(loss(jnp.asarray(logits), jnp.asarray(label)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_focal_matches_torch_reference():
+    """FocalLoss vs a literal torch port of py_sigmoid_focal_loss +
+    weight_reduce_loss 'mean' (focal_loss.py:10-70 + FocalLoss.forward:
+    one-hot targets, valid-mask weight, mean over ALL N*C elements)."""
+    import torch
+    rng = np.random.RandomState(32)
+    logits = rng.randn(2, 5, 6, 4).astype(np.float32)
+    label = rng.randint(0, 4, (2, 5, 6)).astype(np.int32)
+    label[0, 0] = 255
+    gamma, alpha = 2.0, 0.5
+    with torch.no_grad():
+        pred = torch.from_numpy(logits).reshape(-1, 4)
+        lab = torch.from_numpy(label.astype(np.int64)).reshape(-1)
+        valid = (lab != 255).float().view(-1, 1)
+        tgt = torch.nn.functional.one_hot(
+            torch.where(lab == 255, torch.zeros_like(lab), lab), 4).float()
+        ps = pred.sigmoid()
+        one_minus_pt = (1 - ps) * tgt + ps * (1 - tgt)
+        fw = (alpha * tgt + (1 - alpha) * (1 - tgt)) * \
+            one_minus_pt.pow(gamma)
+        bce = torch.nn.functional.binary_cross_entropy_with_logits(
+            pred, tgt, reduction='none')
+        ref = float((bce * fw * valid).mean())
+
+    loss = LOSSES.build(dict(type='FocalLoss', ignore_index=255))
+    got = float(loss(jnp.asarray(logits), jnp.asarray(label)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_lovasz_perfect_prediction_near_zero():
     label = np.zeros((1, 4, 4), np.int32)
     logits = np.full((1, 4, 4, 3), -10.0, np.float32)
