@@ -199,6 +199,44 @@ def test_focal_matches_torch_reference():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_ohem_ce_matches_torch_reference():
+    """OHEM_CrossEntropyLoss vs a literal port of the reference
+    OhemCrossEntropy2dTensor.forward (ohem_cross_entropy_loss.py:59-88):
+    threshold = max(thresh, min_kept-th smallest target prob), kept =
+    prob <= threshold, CE mean over kept."""
+    import torch
+    rng = np.random.RandomState(33)
+    logits = rng.randn(2, 6, 7, 4).astype(np.float32)
+    label = rng.randint(0, 4, (2, 6, 7)).astype(np.int32)
+    label[0, :2] = 255
+    thresh, min_kept = 0.7, 10
+    with torch.no_grad():
+        pred = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+        b, c, h, w = pred.shape
+        target = torch.from_numpy(label.astype(np.int64)).view(-1)
+        valid = target.ne(255)
+        tgt0 = target * valid.long()
+        prob = torch.softmax(pred, 1).transpose(0, 1).reshape(c, -1)
+        prob = prob.masked_fill(~valid, 1)
+        mask_prob = prob[tgt0, torch.arange(len(tgt0))]
+        threshold = thresh
+        _, index = mask_prob.sort()
+        ti = index[min(len(index), min_kept) - 1]
+        if mask_prob[ti] > thresh:
+            threshold = mask_prob[ti]
+        kept = mask_prob.le(threshold)
+        tgt = tgt0 * kept.long()
+        v2 = valid & kept
+        tgt = tgt.masked_fill(~v2, 255).view(b, h, w)
+        ref = float(torch.nn.functional.cross_entropy(
+            pred, tgt, ignore_index=255))
+
+    loss = LOSSES.build(dict(type='OHEM_CrossEntropyLoss', thres=thresh,
+                             min_kept=min_kept, ignore_index=255))
+    got = float(loss(jnp.asarray(logits), jnp.asarray(label)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_lovasz_perfect_prediction_near_zero():
     label = np.zeros((1, 4, 4), np.int32)
     logits = np.full((1, 4, 4, 3), -10.0, np.float32)
