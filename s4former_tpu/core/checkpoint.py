@@ -1596,6 +1596,22 @@ def convert_setr_mla_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_ic_neck(sd: Dict[str, np.ndarray], prefix: str = ''
+                    ) -> Tuple[Dict, Dict]:
+    """mmseg ICNeck (ic_neck.py: cff_24/cff_12 CascadeFeatureFusions
+    with dilated conv_low + 1x1 conv_high ConvModules) -> necks.ICNeck."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    for cff in ('cff_24', 'cff_12'):
+        cp: Dict[str, Any] = {}
+        cb: Dict[str, Any] = {}
+        for sub in ('conv_low', 'conv_high'):
+            cp[sub], cb[sub] = _convmodule(sd, prefix + f'{cff}.{sub}')
+        p[cff] = cp
+        bs[cff] = cb
+    return p, bs
+
+
 def convert_fpn_neck(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg/mmdet FPN neck (necks/fpn.py: biased ConvModules, no norm)
@@ -2367,6 +2383,10 @@ def convert_mmseg_checkpoint(path_or_sd,
     elif 'mla.channel_proj.0.conv.weight' in nk:  # MLA neck
         p, b = convert_mla_neck(nk)
         params['neck_m'] = p
+    elif 'cff_24.conv_low.conv.weight' in nk:     # ICNeck
+        p, b = convert_ic_neck(nk)
+        params['neck_m'] = p
+        batch_stats['neck_m'] = b
 
     convert_head = convert_any_head
 

@@ -13,6 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from s4former_tpu.models.decode_heads.misc_heads import \
+    ConvBNReLU as _ConvModule
 from s4former_tpu.ops.resize import resize_bilinear, resize_nearest
 from s4former_tpu.registry import NECKS
 
@@ -143,27 +145,47 @@ class FPN(nn.Module):
         return tuple(outs[:self.num_outs])
 
 
+class CascadeFeatureFusion(nn.Module):
+    """(ref ic_neck.py:9-72): upsample the low branch, DILATED 3x3
+    ConvModule on it, 1x1 ConvModule on the high branch, relu(sum);
+    returns (fused, low_projection) — the low projections are ICNet's
+    cascade-label-guidance aux taps."""
+    out_channels: int
+    align_corners: bool = False
+
+    @nn.compact
+    def __call__(self, x_low, x_high, train=False):
+        x_low = resize_bilinear(x_low, x_high.shape[1:3],
+                                self.align_corners)
+        x_low = _ConvModule(self.out_channels, 3, 2,
+                            name='conv_low')(x_low, train)
+        x_high = _ConvModule(self.out_channels, 1, 1,
+                             name='conv_high')(x_high, train)
+        return nn.relu(x_low + x_high), x_low
+
+
 @NECKS.register_module()
 class ICNeck(nn.Module):
-    """(ic_neck.py): ICNet cascade feature fusion — fuse low-res semantic
-    features into higher-res ones."""
+    """(ref ic_neck.py:75-150), exact structure: cff_24 fuses sub4 into
+    sub2, cff_12 fuses that into sub1; output order (x_24, x_12,
+    x_cff_12) — the first two are the CFF LOW projections (aux taps),
+    the last is the fused map the decode head consumes (in_index=2)."""
     in_channels: Sequence[int] = (64, 256, 256)
     out_channels: int = 128
+    align_corners: bool = False
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
-        # inputs ordered high-res -> low-res
-        outs = []
-        prev = None
-        for i, x in enumerate(reversed(inputs)):
-            y = ConvReLU(self.out_channels, 1, use_norm=True,
-                         name=f'proj_{i}')(x, train)
-            if prev is not None:
-                up = resize_bilinear(prev, y.shape[1:3], False)
-                y = nn.relu(y + up)
-            outs.append(y)
-            prev = y
-        return tuple(reversed(outs))
+        x_sub1, x_sub2, x_sub4 = inputs
+        x_cff_24, x_24 = CascadeFeatureFusion(
+            self.out_channels, self.align_corners, name='cff_24')(
+                x_sub4, x_sub2, train)
+        x_cff_12, x_12 = CascadeFeatureFusion(
+            self.out_channels, self.align_corners, name='cff_12')(
+                x_cff_24, x_sub1, train)
+        return (x_24, x_12, x_cff_12)
 
 
 @NECKS.register_module()

@@ -1444,6 +1444,56 @@ def test_feature_contrast_v1_ingestion_parity():
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_ic_neck_ingestion_parity():
+    """ICNeck (ic_neck.py:9-150): dilated conv_low on the upsampled low
+    branch, (x_24, x_12, x_cff_12) output order."""
+    from s4former_tpu.core.checkpoint import convert_ic_neck
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(34)
+    cins, outc = (6, 8, 10), 4
+    cff24_low = TorchConvModule(cins[2], outc, 3, dilation=2)
+    cff24_high = TorchConvModule(cins[1], outc, 1)
+    cff12_low = TorchConvModule(outc, outc, 3, dilation=2)
+    cff12_high = TorchConvModule(cins[0], outc, 1)
+    sd = {}
+    cff24_low.dump(sd, 'cff_24.conv_low')
+    cff24_high.dump(sd, 'cff_24.conv_high')
+    cff12_low.dump(sd, 'cff_12.conv_low')
+    cff12_high.dump(sd, 'cff_12.conv_high')
+
+    for m in (cff24_low, cff24_high, cff12_low, cff12_high):
+        m.eval()
+    rng = np.random.RandomState(34)
+    feats = [rng.randn(1, hw, hw, c).astype(np.float32)
+             for hw, c in zip((16, 8, 4), cins)]
+    with torch.no_grad():
+        s1, s2, s4 = [torch.from_numpy(f).permute(0, 3, 1, 2)
+                      for f in feats]
+        low = F.interpolate(s4, size=s2.shape[2:], mode='bilinear',
+                            align_corners=False)
+        x24 = cff24_low(low)
+        cff24 = F.relu(x24 + cff24_high(s2))
+        low = F.interpolate(cff24, size=s1.shape[2:], mode='bilinear',
+                            align_corners=False)
+        x12 = cff12_low(low)
+        cff12 = F.relu(x12 + cff12_high(s1))
+        refs = [x24, x12, cff12]
+
+    neck = NECKS.build(dict(type='ICNeck', in_channels=cins,
+                            out_channels=outc))
+    jf = [jnp.asarray(f) for f in feats]
+    variables = neck.init(jax.random.PRNGKey(0), jf, train=False)
+    p, bs = convert_ic_neck(_np_sd(sd))
+    variables = merge_pretrained(variables,
+                                 {'params': p, 'batch_stats': bs},
+                                 strict=True)
+    outs = neck.apply(variables, jf, train=False)
+    for i, (g, r) in enumerate(zip(outs, refs)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f'out {i}')
+
+
 def test_stdc_boundary_targets_parity():
     """stdc_boundary_targets vs a literal port of STDCHead.losses'
     boundary construction (stdc_head.py:29-85)."""

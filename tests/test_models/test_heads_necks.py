@@ -109,7 +109,12 @@ def test_icneck_and_jpu():
     feats = _feats([(1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 16)])
     v = ic.init({'params': jax.random.PRNGKey(0)}, feats, train=False)
     outs = ic.apply(v, feats, train=False)
-    assert len(outs) == 3 and outs[0].shape == (1, 16, 16, 8)
+    # reference output order (ic_neck.py:150): (x_24, x_12, x_cff_12) —
+    # x_24 at sub2 resolution, x_12/x_cff_12 at sub1 resolution
+    assert len(outs) == 3
+    assert outs[0].shape == (1, 8, 8, 8)
+    assert outs[1].shape == (1, 16, 16, 8)
+    assert outs[2].shape == (1, 16, 16, 8)
 
     jpu = NECKS.build(dict(type='JPU', in_channels=[8, 16, 32],
                            mid_channels=8, dilations=(1, 2)))
