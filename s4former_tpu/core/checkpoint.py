@@ -1596,6 +1596,65 @@ def convert_setr_mla_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_multilevel_neck(sd: Dict[str, np.ndarray], prefix: str = ''
+                            ) -> Tuple[Dict, Dict]:
+    """mmseg MultiLevelNeck (multilevel_neck.py: biased lateral_convs +
+    convs) -> necks.MultiLevelNeck."""
+    p: Dict[str, Any] = {}
+    for ref, ours in (('lateral_convs', 'lateral'), ('convs', 'conv')):
+        i = 0
+        while prefix + f'{ref}.{i}.conv.weight' in sd:
+            p[f'{ours}_{i}'] = _biased_conv(sd, prefix + f'{ref}.{i}.conv')
+            i += 1
+    return p, {}
+
+
+def convert_feature2pyramid_neck(sd: Dict[str, np.ndarray],
+                                 prefix: str = '') -> Tuple[Dict, Dict]:
+    """mmseg Feature2Pyramid (featurepyramid.py: upsample_4x Sequential
+    [deconv, norm, GELU, deconv] + upsample_2x deconv) ->
+    necks.Feature2Pyramid (deconvs transpose+flip)."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def deconv(key):
+        w = sd[key + '.weight']
+        return {'kernel': np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy(),
+                'bias': sd[key + '.bias']}
+
+    if prefix + 'upsample_4x.0.weight' in sd:
+        p['up4_deconv1'] = deconv(prefix + 'upsample_4x.0')
+        p['up4_bn'] = {'scale': sd[prefix + 'upsample_4x.1.weight'],
+                       'bias': sd[prefix + 'upsample_4x.1.bias']}
+        bs['up4_bn'] = {
+            'mean': sd[prefix + 'upsample_4x.1.running_mean'],
+            'var': sd[prefix + 'upsample_4x.1.running_var']}
+        p['up4_deconv2'] = deconv(prefix + 'upsample_4x.3')
+    if prefix + 'upsample_2x.0.weight' in sd:
+        p['up2_deconv'] = deconv(prefix + 'upsample_2x.0')
+    return p, bs
+
+
+def convert_jpu_neck(sd: Dict[str, np.ndarray], prefix: str = ''
+                     ) -> Tuple[Dict, Dict]:
+    """mmseg JPU (jpu.py: conv_layers.{i}.0 ConvModules +
+    dilation_layers.{i}.0 DW-separable modules) -> necks.JPU."""
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'conv_layers.{i}.0.conv.weight' in sd:
+        p[f'conv_{i}'], bs[f'conv_{i}'] = _convmodule(
+            sd, prefix + f'conv_layers.{i}.0')
+        i += 1
+    i = 0
+    while prefix + f'dilation_layers.{i}.0.depthwise_conv.conv.weight' \
+            in sd:
+        p[f'dilation_{i}'], bs[f'dilation_{i}'] = _sepconvmodule(
+            sd, prefix + f'dilation_layers.{i}.0')
+        i += 1
+    return p, bs
+
+
 def convert_ic_neck(sd: Dict[str, np.ndarray], prefix: str = ''
                     ) -> Tuple[Dict, Dict]:
     """mmseg ICNeck (ic_neck.py: cff_24/cff_12 CascadeFeatureFusions
@@ -2375,7 +2434,8 @@ def convert_mmseg_checkpoint(path_or_sd,
             batch_stats['backbone_m'] = b
 
     nk = sub('neck.')
-    if 'lateral_convs.0.conv.weight' in nk:      # FPN neck
+    if 'fpn_convs.0.conv.weight' in nk:          # FPN neck (has fpn_convs;
+        # MultiLevelNeck also carries lateral_convs but uses 'convs')
         p, b = convert_fpn_neck(nk)
         params['neck_m'] = p
         if b:
@@ -2385,6 +2445,18 @@ def convert_mmseg_checkpoint(path_or_sd,
         params['neck_m'] = p
     elif 'cff_24.conv_low.conv.weight' in nk:     # ICNeck
         p, b = convert_ic_neck(nk)
+        params['neck_m'] = p
+        batch_stats['neck_m'] = b
+    elif 'lateral_convs.0.conv.weight' in nk:     # MultiLevelNeck
+        p, b = convert_multilevel_neck(nk)
+        params['neck_m'] = p
+    elif 'upsample_2x.0.weight' in nk:            # Feature2Pyramid
+        p, b = convert_feature2pyramid_neck(nk)
+        params['neck_m'] = p
+        if b:
+            batch_stats['neck_m'] = b
+    elif 'dilation_layers.0.0.depthwise_conv.conv.weight' in nk:  # JPU
+        p, b = convert_jpu_neck(nk)
         params['neck_m'] = p
         batch_stats['neck_m'] = b
 

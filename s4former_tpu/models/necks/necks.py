@@ -74,16 +74,25 @@ class MLANeck(nn.Module):
 
 @NECKS.register_module()
 class MultiLevelNeck(nn.Module):
-    """(multilevel_neck.py): 1x1 lateral + per-level rescale + 3x3 conv."""
+    """(ref multilevel_neck.py:9-74), exact structure: biased no-norm
+    1x1 laterals (one per in_channel, DUPLICATED across scales when a
+    single input arrives), per-level bilinear rescale, biased 3x3
+    convs."""
     in_channels: Sequence[int] = (768, 768, 768, 768)
     out_channels: int = 768
     scales: Sequence[float] = (0.5, 1, 2, 4)
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
+        feats = [nn.Conv(self.out_channels, (1, 1),
+                         name=f'lateral_{i}')(x)
+                 for i, x in enumerate(inputs)]
+        if len(feats) == 1:
+            feats = [feats[0] for _ in range(len(self.scales))]
         outs = []
-        for i, x in enumerate(inputs):
-            y = nn.Conv(self.out_channels, (1, 1), name=f'lateral_{i}')(x)
+        for i, y in enumerate(feats):
             s = self.scales[i]
             if s != 1:
                 y = resize_bilinear(
@@ -96,19 +105,41 @@ class MultiLevelNeck(nn.Module):
 
 @NECKS.register_module()
 class Feature2Pyramid(nn.Module):
-    """(featurepyramid.py): rescale same-stride ViT features to a
-    pyramid."""
+    """(ref featurepyramid.py:8-75), exact structure: rescale-4 is
+    deconv(2,2) + norm + GELU + deconv(2,2); rescale-2 a single
+    deconv(2,2); 1 identity; 0.5/0.25 max pools. Deconv weights map from
+    torch via transpose(2,3,0,1) + double spatial flip."""
     embed_dim: int = 768
     rescales: Sequence[float] = (4, 2, 1, 0.5)
+    norm_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
+        def deconv2(x, name):
+            return nn.ConvTranspose(self.embed_dim, (2, 2),
+                                    strides=(2, 2), padding='VALID',
+                                    name=name)(x)
+
         outs = []
         for i, x in enumerate(inputs):
             s = self.rescales[i]
-            if s != 1:
-                x = resize_bilinear(
-                    x, (int(x.shape[1] * s), int(x.shape[2] * s)), False)
+            if s == 4:
+                x = deconv2(x, 'up4_deconv1')
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name='up4_bn')(x)
+                x = nn.gelu(x, approximate=False)
+                x = deconv2(x, 'up4_deconv2')
+            elif s == 2:
+                x = deconv2(x, 'up2_deconv')
+            elif s == 1:
+                pass
+            elif s == 0.5:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif s == 0.25:
+                x = nn.max_pool(x, (4, 4), strides=(4, 4))
+            else:
+                raise KeyError(f'invalid {s} for feature2pyramid')
             outs.append(x)
         return tuple(outs)
 
@@ -190,29 +221,30 @@ class ICNeck(nn.Module):
 
 @NECKS.register_module()
 class JPU(nn.Module):
-    """(jpu.py): Joint Pyramid Upsampling — upsample the two deepest
-    levels to the shallowest, concat, multi-dilation depthwise convs."""
+    """(ref jpu.py:10-123), exact structure: per-level 3x3 ConvModules,
+    bilinear upsample to the shallowest, concat; per-dilation
+    DW-separable modules (depthwise BN no-act, pointwise BN+ReLU) whose
+    OUTPUTS concatenate; returns inputs[:-1] + [concat]."""
     in_channels: Sequence[int] = (512, 1024, 2048)
     mid_channels: int = 512
     dilations: Sequence[int] = (1, 2, 4, 8)
+    align_corners: bool = False
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
 
     @nn.compact
     def __call__(self, inputs, *, train: bool = False):
-        feats = [ConvReLU(self.mid_channels, 3, use_norm=True,
-                          name=f'conv_{i}')(x, train)
+        from s4former_tpu.models.decode_heads.zoo_heads import SepConvBNReLU
+        feats = [_ConvModule(self.mid_channels, 3,
+                             name=f'conv_{i}')(x, train)
                  for i, x in enumerate(inputs)]
         target_hw = feats[0].shape[1:3]
         feats = [f if f.shape[1:3] == target_hw else
-                 resize_bilinear(f, target_hw, False) for f in feats]
+                 resize_bilinear(f, target_hw, self.align_corners)
+                 for f in feats]
         x = jnp.concatenate(feats, axis=-1)
-        outs = []
-        for d in self.dilations:
-            c = x.shape[-1]
-            y = nn.Conv(c, (3, 3), padding=d, kernel_dilation=d,
-                        feature_group_count=c, use_bias=False,
-                        name=f'dil_{d}_dw')(x)
-            y = ConvReLU(self.mid_channels, 1, use_norm=True,
-                         name=f'dil_{d}_pw')(y, train)
-            outs.append(y)
+        outs = [SepConvBNReLU(self.mid_channels, 3, d, dw_act=False,
+                              name=f'dilation_{i}')(x, train)
+                for i, d in enumerate(self.dilations)]
         fused = jnp.concatenate(outs, axis=-1)
         return tuple(list(inputs[:-1]) + [fused])

@@ -1494,6 +1494,145 @@ def test_ic_neck_ingestion_parity():
             rtol=2e-4, atol=2e-4, err_msg=f'out {i}')
 
 
+def test_multilevel_neck_ingestion_parity():
+    """MultiLevelNeck (multilevel_neck.py:9-74): biased laterals,
+    single-input duplication, per-scale bilinear + biased 3x3."""
+    from s4former_tpu.core.checkpoint import convert_multilevel_neck
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(35)
+    cin, outc = 6, 4
+    lat = torch.nn.Conv2d(cin, outc, 1)
+    convs = torch.nn.ModuleList(torch.nn.Conv2d(outc, outc, 3, padding=1)
+                                for _ in range(4))
+    sd = {'lateral_convs.0.conv.weight': lat.weight,
+          'lateral_convs.0.conv.bias': lat.bias}
+    for i, m in enumerate(convs):
+        sd[f'convs.{i}.conv.weight'] = m.weight
+        sd[f'convs.{i}.conv.bias'] = m.bias
+
+    rng = np.random.RandomState(35)
+    feat = rng.randn(1, 8, 8, cin).astype(np.float32)
+    with torch.no_grad():
+        x = lat(torch.from_numpy(feat).permute(0, 3, 1, 2))
+        refs = []
+        for i, s in enumerate((0.5, 1, 2, 4)):
+            y = F.interpolate(x, scale_factor=s, mode='bilinear') \
+                if s != 1 else x
+            refs.append(convs[i](y))
+
+    neck = NECKS.build(dict(type='MultiLevelNeck', in_channels=[cin],
+                            out_channels=outc))
+    jf = [jnp.asarray(feat)]
+    v = neck.init(jax.random.PRNGKey(0), jf)
+    p, _ = convert_multilevel_neck(_np_sd(sd))
+    v = merge_pretrained(v, {'params': p}, strict=True)
+    outs = neck.apply(v, jf)
+    for i, (g, r) in enumerate(zip(outs, refs)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f'out {i}')
+
+
+def test_feature2pyramid_ingestion_parity():
+    """Feature2Pyramid (featurepyramid.py:8-75): parametric deconv
+    upsamples + BN + GELU."""
+    from s4former_tpu.core.checkpoint import convert_feature2pyramid_neck
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(36)
+    dim = 6
+    d1 = torch.nn.ConvTranspose2d(dim, dim, 2, stride=2)
+    bn = torch.nn.BatchNorm1d(dim)  # placeholder for dump shape
+    bn = torch.nn.BatchNorm2d(dim)
+    d2 = torch.nn.ConvTranspose2d(dim, dim, 2, stride=2)
+    d3 = torch.nn.ConvTranspose2d(dim, dim, 2, stride=2)
+    with torch.no_grad():
+        bn.running_mean.normal_(0, 0.3)
+        bn.running_var.uniform_(0.5, 2.0)
+    sd = {'upsample_4x.0.weight': d1.weight, 'upsample_4x.0.bias': d1.bias,
+          'upsample_4x.1.weight': bn.weight, 'upsample_4x.1.bias': bn.bias,
+          'upsample_4x.1.running_mean': bn.running_mean,
+          'upsample_4x.1.running_var': bn.running_var,
+          'upsample_4x.3.weight': d2.weight, 'upsample_4x.3.bias': d2.bias,
+          'upsample_2x.0.weight': d3.weight, 'upsample_2x.0.bias': d3.bias}
+
+    for m in (d1, bn, d2, d3):
+        m.eval()
+    rng = np.random.RandomState(36)
+    feats = [rng.randn(1, 4, 4, dim).astype(np.float32)
+             for _ in range(4)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        refs = [d2(F.gelu(bn(d1(xs[0])))), d3(xs[1]), xs[2],
+                F.max_pool2d(xs[3], 2, 2)]
+
+    neck = NECKS.build(dict(type='Feature2Pyramid', embed_dim=dim))
+    jf = [jnp.asarray(f) for f in feats]
+    v = neck.init(jax.random.PRNGKey(0), jf, train=False)
+    p, bs = convert_feature2pyramid_neck(_np_sd(sd))
+    v = merge_pretrained(v, {'params': p, 'batch_stats': bs}, strict=True)
+    outs = neck.apply(v, jf, train=False)
+    for i, (g, r) in enumerate(zip(outs, refs)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f'out {i}')
+
+
+def test_jpu_neck_ingestion_parity():
+    """JPU (jpu.py:10-123): per-level ConvModules, bilinear upsample,
+    concat; DW-separable dilation branches (dw BN no-act) concatenated;
+    returns inputs[:-1] + [concat]."""
+    from s4former_tpu.core.checkpoint import convert_jpu_neck
+    from s4former_tpu.registry import NECKS
+    torch.manual_seed(37)
+    cins, mid, dils = (6, 8, 10), 4, (1, 2)
+    convs = torch.nn.ModuleList(TorchConvModule(c, mid, 3) for c in cins)
+    dl = torch.nn.ModuleList(
+        TorchSepConvModule(3 * mid, mid, 3, d) for d in dils)
+
+    class SepNoDwAct2(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, x):
+            i = self.inner
+            return i.pointwise_conv(i.depthwise_conv.bn(
+                i.depthwise_conv.conv(x)))
+
+    sd = {}
+    for i, m in enumerate(convs):
+        m.dump(sd, f'conv_layers.{i}.0')
+    for i, m in enumerate(dl):
+        m.dump(sd, f'dilation_layers.{i}.0')
+
+    for m in (*convs, *dl):
+        m.eval()
+    rng = np.random.RandomState(37)
+    feats = [rng.randn(1, hw, hw, c).astype(np.float32)
+             for hw, c in zip((16, 8, 4), cins)]
+    with torch.no_grad():
+        xs = [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        fs = [convs[i](x) for i, x in enumerate(xs)]
+        for i in range(1, 3):
+            fs[i] = F.interpolate(fs[i], size=fs[0].shape[2:],
+                                  mode='bilinear', align_corners=False)
+        cat = torch.cat(fs, 1)
+        outs = torch.cat([SepNoDwAct2(m)(cat) for m in dl], 1)
+        refs = [xs[0], xs[1], outs]
+
+    neck = NECKS.build(dict(type='JPU', in_channels=cins,
+                            mid_channels=mid, dilations=dils))
+    jf = [jnp.asarray(f) for f in feats]
+    v = neck.init(jax.random.PRNGKey(0), jf, train=False)
+    p, bs = convert_jpu_neck(_np_sd(sd))
+    v = merge_pretrained(v, {'params': p, 'batch_stats': bs}, strict=True)
+    outs2 = neck.apply(v, jf, train=False)
+    for i, (g, r) in enumerate(zip(outs2, refs)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f'out {i}')
+
+
 def test_stdc_boundary_targets_parity():
     """stdc_boundary_targets vs a literal port of STDCHead.losses'
     boundary construction (stdc_head.py:29-85)."""
