@@ -25,6 +25,55 @@ def _np_reference(pred, label, n, ignore=255):
     return inter, area_p + area_l - inter, area_p, area_l
 
 
+def test_eval_metrics_match_reference_port():
+    """eval_metrics (mIoU/mDice/mFscore) vs a literal numpy port of the
+    reference (mmseg/core/evaluation/metrics.py: histogram totals,
+    f_score with beta, NaN for absent classes)."""
+    rng = np.random.RandomState(40)
+    num_classes, ignore = 5, 255
+    preds = [rng.randint(0, num_classes, (13, 17)) for _ in range(3)]
+    gts = [rng.randint(0, num_classes, (13, 17)) for _ in range(3)]
+    gts[0][:3] = ignore
+    gts[1][..., :2] = 4
+
+    ti = np.zeros(num_classes)
+    tu = np.zeros(num_classes)
+    tp = np.zeros(num_classes)
+    tl = np.zeros(num_classes)
+    for p, g in zip(preds, gts):
+        mask = g != ignore
+        pv, gv = p[mask], g[mask]
+        inter = pv[pv == gv]
+        ai = np.histogram(inter, bins=num_classes,
+                          range=(0, num_classes - 1))[0]
+        ap = np.histogram(pv, bins=num_classes,
+                          range=(0, num_classes - 1))[0]
+        al = np.histogram(gv, bins=num_classes,
+                          range=(0, num_classes - 1))[0]
+        ti += ai
+        tp += ap
+        tl += al
+        tu += ap + al - ai
+    with np.errstate(invalid='ignore', divide='ignore'):
+        ref_iou = ti / tu
+        ref_dice = 2 * ti / (tp + tl)
+        prec = ti / tp
+        rec = ti / tl
+        beta = 1
+        ref_f = (1 + beta ** 2) * prec * rec / (beta ** 2 * prec + rec)
+        ref_acc = ti / tl
+        ref_aacc = ti.sum() / tl.sum()
+
+    from s4former_tpu.core.metrics import eval_metrics
+    res = eval_metrics(preds, gts, num_classes, ignore_index=ignore,
+                       metrics=['mIoU', 'mDice', 'mFscore'])
+    np.testing.assert_allclose(res['IoU'], ref_iou, rtol=1e-6)
+    np.testing.assert_allclose(res['Dice'], ref_dice, rtol=1e-6)
+    np.testing.assert_allclose(res['Fscore'], ref_f, rtol=1e-6)
+    np.testing.assert_allclose(res['Acc'], ref_acc, rtol=1e-6)
+    np.testing.assert_allclose(res['aAcc'], ref_aacc, rtol=1e-6)
+
+
 def test_intersect_and_union_matches_numpy():
     pred, label, n = _rand_case()
     ours = [np.asarray(x) for x in intersect_and_union(
