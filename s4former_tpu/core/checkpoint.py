@@ -897,6 +897,25 @@ def convert_fcn_head(sd: Dict[str, np.ndarray], prefix: str = ''
     return p, bs
 
 
+def convert_point_head(sd: Dict[str, np.ndarray], prefix: str = ''
+                       ) -> Tuple[Dict, Dict]:
+    """mmseg PointHead (point_head.py:92-113: ``fcs`` = Conv1d ConvModules
+    with norm None, ``fc_seg`` = nn.Conv1d k=1) -> our
+    advanced_heads.PointHead Dense layout (fc_{i}/fc_seg). A kernel-1
+    Conv1d [out, in, 1] is exactly a Dense with kernel w[:, :, 0].T."""
+    p: Dict[str, Any] = {}
+    i = 0
+    while prefix + f'fcs.{i}.conv.weight' in sd:
+        w = sd[prefix + f'fcs.{i}.conv.weight']
+        p[f'fc_{i}'] = {'kernel': w[:, :, 0].T,
+                        'bias': sd[prefix + f'fcs.{i}.conv.bias']}
+        i += 1
+    w = sd[prefix + 'fc_seg.weight']
+    p['fc_seg'] = {'kernel': w[:, :, 0].T,
+                   'bias': sd[prefix + 'fc_seg.bias']}
+    return p, {}
+
+
 def convert_psp_head(sd: Dict[str, np.ndarray], prefix: str = ''
                      ) -> Tuple[Dict, Dict]:
     """mmseg PSPHead (psp_head.py PPM: psp_modules.{i}.1 ConvModule after
@@ -2234,6 +2253,8 @@ def convert_any_head(hd):
         return convert_dm_head(hd)
     if 'kernel_update_head.0.fc_mask.weight' in hd:  # K-Net
         return convert_knet_head(hd)
+    if 'fcs.0.conv.weight' in hd:            # PointRend point head
+        return convert_point_head(hd)
     if 'convs.0.conv.weight' in hd:          # FCNHead (also STDCHead)
         return convert_fcn_head(hd)
     return convert_setr_up_head(hd)

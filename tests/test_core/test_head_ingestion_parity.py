@@ -2203,3 +2203,50 @@ def test_sep_aspp_head_ingestion_parity():
                       in_index=-1, dropout_ratio=0),
                  convert_aspp_head, _np_sd(sd), [c1_feat, feat])
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_point_head_ingestion_parity():
+    """PointRend PointHead MLP (point_head.py:92-130: Conv1d fcs with
+    coarse re-concat each layer, fc_seg classifier) vs converted weights
+    through our Dense-layout PointHead._mlp."""
+    from s4former_tpu.core.checkpoint import convert_point_head
+    from s4former_tpu.models.decode_heads.advanced_heads import PointHead
+
+    torch.manual_seed(11)
+    num_fcs, cin = 3, 6
+    sd, fcs = {}, []
+    fc_in = cin + NCLS
+    for k in range(num_fcs):
+        conv = torch.nn.Conv1d(fc_in, CH, 1)
+        fcs.append(conv)
+        sd[f'fcs.{k}.conv.weight'] = conv.weight
+        sd[f'fcs.{k}.conv.bias'] = conv.bias
+        fc_in = CH + NCLS
+    fc_seg = torch.nn.Conv1d(fc_in, NCLS, 1)
+    sd['fc_seg.weight'] = fc_seg.weight
+    sd['fc_seg.bias'] = fc_seg.bias
+
+    fine = torch.randn(2, cin, 37)
+    coarse = torch.randn(2, NCLS, 37)
+    with torch.no_grad():
+        x = torch.cat([fine, coarse], 1)
+        for conv in fcs:
+            x = torch.cat([F.relu(conv(x)), coarse], 1)
+        ref = fc_seg(x).permute(0, 2, 1).numpy()
+
+    # Drive the cascade train path with pixel-center coords on a 1xP
+    # feature map: bilinear point_sample at centers is exact, so the MLP
+    # sees the torch oracle's inputs verbatim.
+    head = PointHead(in_channels=(cin,), channels=CH, num_classes=NCLS)
+    npts = fine.shape[-1]
+    fine_map = jnp.asarray(fine.numpy().transpose(0, 2, 1)[:, None])
+    prev_logits = jnp.asarray(coarse.numpy().transpose(0, 2, 1)[:, None])
+    xs = (np.arange(npts, dtype=np.float32) + 0.5) / npts
+    points = jnp.asarray(np.broadcast_to(
+        np.stack([xs, np.full_like(xs, 0.5)], -1), (2, npts, 2)).copy())
+    variables = head.init(jax.random.PRNGKey(0), [fine_map, prev_logits],
+                          points=points)
+    p, _ = convert_point_head(_np_sd(sd))
+    variables = merge_pretrained(variables, {'params': p}, strict=True)
+    got = head.apply(variables, [fine_map, prev_logits], points=points)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
