@@ -78,6 +78,10 @@ def main():
     cfg.dump(osp.join(work_dir, osp.basename(args.config)))
     logger = get_root_logger(osp.join(
         work_dir, time.strftime('%Y%m%d_%H%M%S') + '.log'))
+    from s4former_tpu.utils.collect_env import collect_env
+    dash = '-' * 60
+    env_info = '\n'.join(f'{k}: {v}' for k, v in collect_env().items())
+    logger.info('Environment info:\n' + dash + '\n' + env_info + '\n' + dash)
     logger.info(f'devices: {jax.devices()}')
 
     model = build_segmentor(cfg.model)
