@@ -276,3 +276,182 @@ class RandomCropRareRemain:
         for key in results.get('seg_fields', []):
             results[key] = self._crop(results[key], bbox)
         return results
+
+
+@PIPELINES.register_module()
+class ResizeToMultiple:
+    """(transforms.py:114): resize img (bilinear) and seg maps (nearest)
+    up to the next multiple of ``size_divisor`` (mmcv.imresize_to_multiple
+    with scale_factor=1: ceil-divide each side)."""
+
+    def __init__(self, size_divisor: int = 32,
+                 interpolation: Optional[str] = None):
+        self.size_divisor = size_divisor
+        self.interpolation = interpolation
+
+    def __call__(self, results):
+        from s4former_tpu.data.pipelines.transforms import _pil_resize
+        img = results['img']
+        h, w = img.shape[:2]
+        d = self.size_divisor
+        nh, nw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+        if (nh, nw) != (h, w):
+            img = _pil_resize(img, (nw, nh),
+                              nearest=self.interpolation == 'nearest')
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['pad_shape'] = img.shape
+        for key in results.get('seg_fields', []):
+            results[key] = _pil_resize(results[key], (nw, nh), nearest=True)
+        return results
+
+
+@PIPELINES.register_module()
+class Rerange:
+    """(transforms.py:615): min-max rescale pixel values to
+    [min_value, max_value] (float output, like the reference)."""
+
+    def __init__(self, min_value=0, max_value=255):
+        assert min_value < max_value
+        self.min_value = min_value
+        self.max_value = max_value
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        assert lo < hi, 'Rerange needs a non-constant image'
+        img = (img - lo) / (hi - lo)
+        results['img'] = img * (self.max_value - self.min_value) \
+            + self.min_value
+        return results
+
+
+@PIPELINES.register_module()
+class CLAHE:
+    """(transforms.py:661): per-channel contrast-limited adaptive
+    histogram equalization (mmcv.clahe == cv2.createCLAHE.apply)."""
+
+    def __init__(self, clip_limit: float = 40.0,
+                 tile_grid_size: Tuple[int, int] = (8, 8)):
+        self.clip_limit = clip_limit
+        self.tile_grid_size = tuple(tile_grid_size)
+
+    def __call__(self, results):
+        import cv2
+        op = cv2.createCLAHE(self.clip_limit, self.tile_grid_size)
+        img = np.array(results['img'], dtype=np.uint8, copy=True)
+        for i in range(img.shape[2]):
+            img[:, :, i] = op.apply(img[:, :, i])
+        results['img'] = img
+        return results
+
+
+@PIPELINES.register_module()
+class RGB2Gray:
+    """(transforms.py:1043): weighted-mean grayscale, channels repeated
+    to ``out_channels`` (or back to len(weights) when None)."""
+
+    def __init__(self, out_channels: Optional[int] = None,
+                 weights: Tuple[float, ...] = (0.299, 0.587, 0.114)):
+        assert out_channels is None or out_channels > 0
+        self.out_channels = out_channels
+        self.weights = tuple(weights)
+
+    def __call__(self, results):
+        img = results['img']
+        assert img.ndim == 3 and img.shape[2] == len(self.weights)
+        w = np.asarray(self.weights).reshape(1, 1, -1)
+        gray = (img * w).sum(2, keepdims=True)
+        reps = self.out_channels or len(self.weights)
+        results['img'] = gray.repeat(reps, axis=2)
+        results['img_shape'] = results['img'].shape
+        return results
+
+
+@PIPELINES.register_module()
+class AdjustGamma:
+    """(transforms.py:1099): uint8 LUT gamma correction; the table uses
+    the reference's truncating uint8 cast."""
+
+    def __init__(self, gamma: float = 1.0):
+        assert gamma > 0
+        self.gamma = gamma
+        inv = 1.0 / gamma
+        self.table = np.array([(i / 255.0) ** inv * 255
+                               for i in np.arange(256)]).astype('uint8')
+
+    def __call__(self, results):
+        img = np.asarray(results['img'], dtype=np.uint8)
+        results['img'] = self.table[img]
+        return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """(transforms.py:1135): rescale seg maps by ``scale_factor`` with
+    nearest interpolation (mmcv.imrescale size rounding: int(d*f + 0.5))."""
+
+    def __init__(self, scale_factor: float = 1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        from s4former_tpu.data.pipelines.transforms import _pil_resize
+        if self.scale_factor != 1:
+            for key in results.get('seg_fields', []):
+                h, w = results[key].shape[:2]
+                nw = int(w * self.scale_factor + 0.5)
+                nh = int(h * self.scale_factor + 0.5)
+                results[key] = _pil_resize(results[key], (nw, nh),
+                                           nearest=True)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomCutOut:
+    """(transforms.py:1286): drop n random boxes; top-left sampled over
+    the FULL image so boxes clip at the border (reference semantics),
+    fill img with ``fill_in`` and optionally segs with ``seg_fill_in``."""
+
+    def __init__(self, prob: float, n_holes, cutout_shape=None,
+                 cutout_ratio=None, fill_in=(0, 0, 0),
+                 seg_fill_in: Optional[int] = None):
+        assert 0 <= prob <= 1
+        assert (cutout_shape is None) ^ (cutout_ratio is None), \
+            'Either cutout_shape or cutout_ratio should be specified.'
+        if isinstance(n_holes, tuple):
+            assert len(n_holes) == 2 and 0 <= n_holes[0] < n_holes[1]
+        else:
+            n_holes = (n_holes, n_holes)
+        self.prob = prob
+        self.n_holes = n_holes
+        self.fill_in = fill_in
+        self.seg_fill_in = seg_fill_in
+        self.with_ratio = cutout_ratio is not None
+        cand = cutout_ratio if self.with_ratio else cutout_shape
+        self.candidates = cand if isinstance(cand, list) else [cand]
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if float(rng.uniform()) >= self.prob:
+            return results
+        img = results['img'].copy()
+        h, w = img.shape[:2]
+        segs = {k: results[k].copy() for k in results.get('seg_fields', [])} \
+            if self.seg_fill_in is not None else {}
+        n = int(rng.integers(self.n_holes[0], self.n_holes[1] + 1))
+        for _ in range(n):
+            x1 = int(rng.integers(0, w))
+            y1 = int(rng.integers(0, h))
+            idx = int(rng.integers(0, len(self.candidates)))
+            if not self.with_ratio:
+                cw, ch = self.candidates[idx]
+            else:
+                cw = int(self.candidates[idx][0] * w)
+                ch = int(self.candidates[idx][1] * h)
+            x2, y2 = min(x1 + cw, w), min(y1 + ch, h)
+            img[y1:y2, x1:x2, :] = self.fill_in
+            for k in segs:
+                segs[k][y1:y2, x1:x2] = self.seg_fill_in
+        results['img'] = img
+        results.update(segs)
+        return results

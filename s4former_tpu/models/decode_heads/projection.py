@@ -64,6 +64,11 @@ class ViTClsHead(nn.Module):
         return nn.Dense(self.num_classes, name='fc')(cls_token)
 
 
+# the reference registers it as 'ViTCLSHead' (vit_cls_head.py:14) — alias
+# so ported configs resolve
+HEADS.register_module(name='ViTCLSHead', module=ViTClsHead)
+
+
 @HEADS.register_module()
 class FeatureContrast(nn.Module):
     """(ref feature_contrast.py:13-190), exact v1 machinery: per-class

@@ -128,3 +128,104 @@ def test_patchwise_class_mask():
     assert not m[16:, :16].any()
     tl = m[:16, :16]
     assert tl.any() and not tl.all()    # 2 of the 3 classes selected
+
+
+# ---- round-4 additions: the remaining reference transform roster ----
+
+def test_adjust_gamma_matches_reference_lut():
+    """(ref transforms.py:1099-1121): LUT with truncating uint8 cast."""
+    from s4former_tpu.data.pipelines.extra_transforms import AdjustGamma
+    res = _results(1)
+    img = res['img'].copy()
+    out = AdjustGamma(gamma=2.2)(res)['img']
+    inv = 1.0 / 2.2
+    table = np.array([(i / 255.0) ** inv * 255
+                      for i in np.arange(256)]).astype('uint8')
+    np.testing.assert_array_equal(out, table[img])
+    assert AdjustGamma(gamma=1.0)(_results(1))['img'].dtype == np.uint8
+
+
+def test_rerange_bounds_and_linearity():
+    """(ref transforms.py:615-652)."""
+    from s4former_tpu.data.pipelines.extra_transforms import Rerange
+    res = _results(2)
+    img = res['img'].astype(np.float32)
+    out = Rerange(min_value=10, max_value=20)(res)['img']
+    ref = (img - img.min()) / (img.max() - img.min()) * 10 + 10
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_rgb2gray_weights_and_channels():
+    """(ref transforms.py:1043-1094): weighted mean, repeat channels."""
+    from s4former_tpu.data.pipelines.extra_transforms import RGB2Gray
+    res = _results(3)
+    img = res['img']
+    out = RGB2Gray()(dict(res))['img']
+    ref = (img * np.array([0.299, 0.587, 0.114]).reshape(1, 1, 3)
+           ).sum(2, keepdims=True).repeat(3, axis=2)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    assert out.shape[2] == 3
+    out1 = RGB2Gray(out_channels=1)(dict(_results(3)))['img']
+    assert out1.shape[2] == 1
+
+
+def test_clahe_matches_cv2():
+    """(ref transforms.py:661-700): mmcv.clahe IS cv2 CLAHE per channel."""
+    import cv2
+    from s4former_tpu.data.pipelines.extra_transforms import CLAHE
+    res = _results(4)
+    img = res['img'].copy()
+    out = CLAHE(clip_limit=40.0, tile_grid_size=(8, 8))(res)['img']
+    op = cv2.createCLAHE(40.0, (8, 8))
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], op.apply(img[..., c]))
+
+
+def test_resize_to_multiple_geometry():
+    """(ref transforms.py:114-160): ceil to divisor, seg nearest."""
+    from s4former_tpu.data.pipelines.extra_transforms import ResizeToMultiple
+    res = _results(5, h=33, w=41)
+    out = ResizeToMultiple(size_divisor=32)(res)
+    assert out['img'].shape[:2] == (64, 64)
+    assert out['gt_semantic_seg'].shape == (64, 64)
+    assert out['img_shape'] == out['img'].shape == out['pad_shape']
+    # seg stays label-valued (nearest)
+    assert set(np.unique(out['gt_semantic_seg'])) <= set(range(5))
+    # already-aligned input is untouched
+    res2 = _results(5, h=64, w=32)
+    img2 = res2['img'].copy()
+    np.testing.assert_array_equal(
+        ResizeToMultiple(size_divisor=32)(res2)['img'], img2)
+
+
+def test_seg_rescale_rounding():
+    """(ref transforms.py:1135-1161): mmcv int(d*f + 0.5) rounding."""
+    from s4former_tpu.data.pipelines.extra_transforms import SegRescale
+    res = _results(6, h=33, w=41)
+    out = SegRescale(scale_factor=0.5)(res)
+    assert out['gt_semantic_seg'].shape == (17, 21)
+    assert set(np.unique(out['gt_semantic_seg'])) <= set(range(5))
+    res1 = _results(6)
+    seg = res1['gt_semantic_seg'].copy()
+    np.testing.assert_array_equal(
+        SegRescale(scale_factor=1)(res1)['gt_semantic_seg'], seg)
+
+
+def test_random_cutout_fill_and_seg():
+    """(ref transforms.py:1286-1366): boxes clip at border; optional
+    seg fill; prob=0 is identity."""
+    from s4former_tpu.data.pipelines.extra_transforms import RandomCutOut
+    res = _results(7)
+    img = res['img'].copy()
+    out = RandomCutOut(prob=1.0, n_holes=3, cutout_shape=(8, 8),
+                       fill_in=(7, 7, 7), seg_fill_in=255)(res)
+    changed = np.any(out['img'] != img, axis=2)
+    assert changed.any()
+    assert np.all(out['img'][changed] == 7)
+    np.testing.assert_array_equal(changed,
+                                  out['gt_semantic_seg'] == 255)
+    res0 = _results(7)
+    img0 = res0['img'].copy()
+    np.testing.assert_array_equal(
+        RandomCutOut(prob=0.0, n_holes=1, cutout_ratio=(0.2, 0.2))(
+            res0)['img'], img0)
