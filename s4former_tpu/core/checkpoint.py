@@ -489,6 +489,11 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]
             if pre + 'downsample.0.weight' in sd:
                 blk_p['downsample'], blk_b['downsample'] = convbn(
                     pre + 'downsample.0.weight', pre + 'downsample.1')
+            elif pre + 'downsample.1.weight' in sd:
+                # V1d avg_down layout (res_layer.py:49-64): downsample.0
+                # is the parameter-free AvgPool, conv/bn shift to .1/.2
+                blk_p['downsample'], blk_b['downsample'] = convbn(
+                    pre + 'downsample.1.weight', pre + 'downsample.2')
             p[f'layer{s}_{j}'] = blk_p
             bs[f'layer{s}_{j}'] = blk_b
             j += 1

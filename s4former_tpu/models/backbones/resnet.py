@@ -48,11 +48,28 @@ class ConvBN(nn.Module):
         return nn.relu(x) if relu else x
 
 
+def _avg_pool_ceil(x: Array, s: int) -> Array:
+    """torch AvgPool2d(kernel=s, stride=s, ceil_mode=True,
+    count_include_pad=False) — the ResNetV1d avg_down pool
+    (mmcv res_layer.py:49-54). Partial border windows average only the
+    real pixels."""
+    h, w = x.shape[1], x.shape[2]
+    pad = ((0, 0), (0, (-h) % s), (0, (-w) % s), (0, 0))
+    dims, strides = (1, s, s, 1), (1, s, s, 1)
+    sums = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                 dims, strides, pad)
+    cnt = jax.lax.reduce_window(jnp.ones((1, h, w, 1), x.dtype),
+                                jnp.zeros((), x.dtype), jax.lax.add,
+                                dims, strides, pad)
+    return sums / cnt
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    avg_down: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -64,8 +81,12 @@ class BasicBlock(nn.Module):
         y = ConvBN(self.planes, 3, 1, 1, name='conv2')(
             y, train, relu=False)
         if self.downsample:
-            identity = ConvBN(self.planes, 1, self.stride,
-                              name='downsample')(x, train, relu=False)
+            if self.avg_down and self.stride > 1:
+                identity = _avg_pool_ceil(identity, self.stride)
+            conv_stride = 1 if self.avg_down else self.stride
+            identity = ConvBN(self.planes, 1, conv_stride,
+                              name='downsample')(identity, train,
+                                                 relu=False)
         return nn.relu(y + identity)
 
 
@@ -74,6 +95,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    avg_down: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -84,8 +106,12 @@ class Bottleneck(nn.Module):
         y = ConvBN(self.planes * 4, 1, 1, name='conv3')(y, train,
                                                         relu=False)
         if self.downsample:
-            identity = ConvBN(self.planes * 4, 1, self.stride,
-                              name='downsample')(x, train, relu=False)
+            if self.avg_down and self.stride > 1:
+                identity = _avg_pool_ceil(identity, self.stride)
+            conv_stride = 1 if self.avg_down else self.stride
+            identity = ConvBN(self.planes * 4, 1, conv_stride,
+                              name='downsample')(identity, train,
+                                                 relu=False)
         return nn.relu(y + identity)
 
 
@@ -100,6 +126,7 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     deep_stem: bool = False
+    avg_down: bool = False
     contract_dilation: bool = False
     # parity/no-op keys
     norm_cfg: Optional[dict] = None
@@ -146,6 +173,7 @@ class ResNet(nn.Module):
                     stride != 1 or x.shape[-1] != planes * expansion)
                 x = block_cls(planes, stride if j == 0 else 1, d,
                               downsample=need_down,
+                              avg_down=self.avg_down,
                               name=f'layer{i + 1}_{j}')(x, train)
             planes *= 2
             if i in self.out_indices:
@@ -178,4 +206,15 @@ class ResNetV1c(ResNet):
 
     def __init__(self, **kwargs):
         kwargs['deep_stem'] = True
+        super().__init__(**kwargs)
+
+
+@BACKBONES.register_module()
+class ResNetV1d(ResNet):
+    """Deep stem + avg_down shortcuts (ref resnet.py:711-725: AvgPool
+    before a stride-1 1x1 in every downsampling shortcut)."""
+
+    def __init__(self, **kwargs):
+        kwargs['deep_stem'] = True
+        kwargs['avg_down'] = True
         super().__init__(**kwargs)

@@ -248,32 +248,47 @@ class TorchConvBN(torch.nn.Module):
 class TorchBasicBlock(torch.nn.Module):
     expansion = 1
 
-    def __init__(self, cin, planes, stride, dilation, down):
+    def __init__(self, cin, planes, stride, dilation, down,
+                 avg_down=False):
         super().__init__()
         # resnet.py:39-50: conv1 carries stride+dilation; conv2 is plain
         self.c1 = TorchConvBN(cin, planes, 3, stride, dilation)
         self.c2 = TorchConvBN(planes, planes, 3, 1, 1)
-        self.down = TorchConvBN(cin, planes, 1, stride) if down else None
+        # V1d avg_down shortcut (res_layer.py:47-64)
+        self.pool = torch.nn.AvgPool2d(stride, stride, ceil_mode=True,
+                                       count_include_pad=False) \
+            if down and avg_down and stride > 1 else None
+        self.down = TorchConvBN(cin, planes, 1,
+                                1 if avg_down else stride) if down else None
 
     def forward(self, x):
-        idn = self.down(x, relu=False) if self.down else x
+        idn = x
+        if self.down:
+            idn = self.down(self.pool(x) if self.pool else x, relu=False)
         return F.relu(self.c2(self.c1(x), relu=False) + idn)
 
 
 class TorchBottleneck(torch.nn.Module):
     expansion = 4
 
-    def __init__(self, cin, planes, stride, dilation, down):
+    def __init__(self, cin, planes, stride, dilation, down,
+                 avg_down=False):
         super().__init__()
         # pytorch style: stride on conv2 (resnet.py:137-141)
         self.c1 = TorchConvBN(cin, planes, 1)
         self.c2 = TorchConvBN(planes, planes, 3, stride, dilation)
         self.c3 = TorchConvBN(planes, planes * 4, 1)
-        self.down = TorchConvBN(cin, planes * 4, 1, stride) if down \
+        self.pool = torch.nn.AvgPool2d(stride, stride, ceil_mode=True,
+                                       count_include_pad=False) \
+            if down and avg_down and stride > 1 else None
+        self.down = TorchConvBN(cin, planes * 4, 1,
+                                1 if avg_down else stride) if down \
             else None
 
     def forward(self, x):
-        idn = self.down(x, relu=False) if self.down else x
+        idn = x
+        if self.down:
+            idn = self.down(self.pool(x) if self.pool else x, relu=False)
         y = self.c3(self.c2(self.c1(x)), relu=False)
         return F.relu(y + idn)
 
@@ -284,8 +299,9 @@ ARCH_T = {18: (TorchBasicBlock, (2, 2, 2, 2)),
 
 class TorchResNetV1c(torch.nn.Module):
     def __init__(self, depth, base=8, strides=(1, 2, 1, 1),
-                 dilations=(1, 1, 2, 4), contract=True):
+                 dilations=(1, 1, 2, 4), contract=True, avg_down=False):
         super().__init__()
+        self.avg_down = avg_down
         torch.manual_seed(depth)
         block, blocks_per = ARCH_T[depth]
         self.stem = torch.nn.ModuleList([
@@ -303,7 +319,8 @@ class TorchResNetV1c(torch.nn.Module):
                 stride = strides[s] if j == 0 else 1
                 down = j == 0 and (strides[s] != 1 or
                                    cin != planes * block.expansion)
-                stage.append(block(cin, planes, stride, d, down))
+                stage.append(block(cin, planes, stride, d, down,
+                                   avg_down=avg_down))
                 cin = planes * block.expansion
             self.layers.append(stage)
             planes *= 2
@@ -340,8 +357,10 @@ class TorchResNetV1c(torch.nn.Module):
                 if hasattr(blk, 'c3'):
                     put(blk.c3, pre + 'conv3', pre + 'bn3')
                 if blk.down is not None:
-                    put(blk.down, pre + 'downsample.0',
-                        pre + 'downsample.1')
+                    # V1d: downsample.0 is the AvgPool (no params)
+                    off = 1 if self.avg_down else 0
+                    put(blk.down, pre + f'downsample.{off}',
+                        pre + f'downsample.{off + 1}')
         return {k: v.detach().numpy() for k, v in sd.items()}
 
 
@@ -363,6 +382,33 @@ def test_resnet_v1c_ingestion_parity(depth):
     got = model.apply(variables, method='extract_feat',
                       img=jnp.asarray(img), train=False)
     assert len(got) == 4
+    for s, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-4, err_msg=f'stage {s}')
+
+
+def test_resnet_v1d_ingestion_parity():
+    """ResNetV1d (ref resnet.py:711-725): deep stem + avg_down shortcuts.
+    Input 66x66 makes layer2 pool a 17x17 map — the ceil_mode partial
+    border window (count_include_pad=False) is live."""
+    oracle = TorchResNetV1c(50, strides=(1, 2, 2, 2),
+                            dilations=(1, 1, 1, 1), contract=False,
+                            avg_down=True).eval()
+    cfg = dict(type='EncoderDecoder',
+               backbone=dict(type='ResNetV1d', depth=50,
+                             stem_channels=8, base_channels=8,
+                             strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+                             out_indices=(0, 1, 2, 3)),
+               decode_head=_head(256, in_index=3))
+    model, variables = _ingest(cfg, oracle)
+    rng = np.random.RandomState(7)
+    img = rng.randn(2, 66, 66, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(img).permute(0, 3, 1, 2))
+    got = model.apply(variables, method='extract_feat',
+                      img=jnp.asarray(img), train=False)
+    assert got[1].shape[1] == 9  # ceil(17/2) spatial
     for s, (g, r) in enumerate(zip(got, ref)):
         np.testing.assert_allclose(
             np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
