@@ -607,10 +607,28 @@ def convert_unet_backbone(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     j = 0
     while f'decoder.{j}.conv_block.convs.0.conv.weight' in sd:
         si = j + 1   # decoder[j] upsamples INTO encoder stage j (= i-1)
-        up = f'decoder.{j}.upsample.interp_upsample.1' \
-            if f'decoder.{j}.upsample.interp_upsample.1.conv.weight' in sd \
-            else f'decoder.{j}.upsample'
-        p[f'dec_{si}_up'], bs[f'dec_{si}_up'] = convbn(up)
+        dk = f'decoder.{j}.upsample.deconv_upsamping.0.weight'
+        if dk in sd:
+            # DeconvModule (ref unet.py:129-138): ConvTranspose + BN +
+            # ReLU; torch deconv kernel [I, O, kh, kw] -> flax
+            # transpose(2,3,0,1) + flip both spatial axes
+            w = sd[dk]
+            bnk = f'decoder.{j}.upsample.deconv_upsamping.1'
+            p[f'dec_{si}_up'] = {
+                'deconv': {
+                    'kernel': np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+                    .copy(),
+                    'bias': sd[dk.replace('.weight', '.bias')]},
+                'bn': {'scale': sd[bnk + '.weight'],
+                       'bias': sd[bnk + '.bias']}}
+            bs[f'dec_{si}_up'] = {
+                'bn': {'mean': sd[bnk + '.running_mean'],
+                       'var': sd[bnk + '.running_var']}}
+        else:
+            ik = f'decoder.{j}.upsample.interp_upsample.1'
+            up = ik if ik + '.conv.weight' in sd \
+                else f'decoder.{j}.upsample'
+            p[f'dec_{si}_up'], bs[f'dec_{si}_up'] = convbn(up)
         p[f'dec_{si}_conv'], bs[f'dec_{si}_conv'] = convblock(
             f'decoder.{j}.conv_block')
         j += 1

@@ -52,6 +52,31 @@ class ConvModule(nn.Module):
         return nn.relu(x) if relu else x
 
 
+class DeconvModule(nn.Module):
+    """ConvTranspose(k, s=scale, p=(k-scale)/2, biased) + BN + ReLU
+    (reference unet.py:90-147). torch equivalence: flax ConvTranspose
+    padding lo=hi=k-1-p; checkpoint kernels arrive transposed+flipped
+    (core/checkpoint.py deconv recipe)."""
+    out_channels: int
+    kernel: int = 4
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        assert (self.kernel - self.scale) >= 0 and \
+            (self.kernel - self.scale) % 2 == 0
+        p = (self.kernel - self.scale) // 2
+        lohi = self.kernel - 1 - p
+        x = nn.ConvTranspose(self.out_channels,
+                             (self.kernel, self.kernel),
+                             strides=(self.scale, self.scale),
+                             padding=((lohi, lohi), (lohi, lohi)),
+                             use_bias=True, name='deconv')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='bn', dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
 class BasicConvBlock(nn.Module):
     """num_convs 3x3 convs; conv 0: stride + dilation 1; rest: dilation
     (reference unet.py:66-77)."""
@@ -83,7 +108,8 @@ class UNet(nn.Module):
     downsamples: Sequence[bool] = (True, True, True, True)
     enc_dilations: Sequence[int] = (1, 1, 1, 1, 1)
     dec_dilations: Sequence[int] = (1, 1, 1, 1)
-    # accepted-and-ignored parity knobs
+    # upsample_cfg type: 'InterpConv' (default) or 'DeconvModule'
+    # (ref unet.py:90-222); other keys accepted-and-ignored
     upsample_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
@@ -110,12 +136,19 @@ class UNet(nn.Module):
         for i in range(self.num_stages - 1, 0, -1):
             skip = enc_outs[i - 1]
             upsample = self.strides[i] != 1 or self.downsamples[i - 1]
-            if upsample:
-                # InterpConv, conv_first=False: bilinear x2 (AC=False)
-                # then 1x1 conv+BN+ReLU to the skip's channel count
-                x = resize_bilinear(x, skip.shape[1:3], False)
-            x = ConvModule(base * 2 ** (i - 1), 1, padding=0,
-                           name=f'dec_{i}_up')(x, train)
+            up_cfg = self.upsample_cfg or {}
+            if upsample and up_cfg.get('type') == 'DeconvModule':
+                x = DeconvModule(base * 2 ** (i - 1),
+                                 kernel=up_cfg.get('kernel_size', 4),
+                                 scale=up_cfg.get('scale_factor', 2),
+                                 name=f'dec_{i}_up')(x, train)
+            else:
+                if upsample:
+                    # InterpConv, conv_first=False: bilinear x2 (AC=False)
+                    # then 1x1 conv+BN+ReLU to the skip's channel count
+                    x = resize_bilinear(x, skip.shape[1:3], False)
+                x = ConvModule(base * 2 ** (i - 1), 1, padding=0,
+                               name=f'dec_{i}_up')(x, train)
             x = jnp.concatenate([skip, x], axis=-1)
             x = BasicConvBlock(base * 2 ** (i - 1),
                                self.dec_num_convs[i - 1], 1,
