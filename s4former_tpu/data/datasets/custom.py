@@ -347,6 +347,124 @@ class SemiDataset:
         return len(self.sup) + len(self.unsup)
 
 
+@DATASETS.register_module()
+class RepeatDataset:
+    """(dataset_wrappers.py:165-192): length = times * len(dataset),
+    items repeat modulo — cuts epoch-boundary overhead for small sets."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = DATASETS.build(dict(dataset)) \
+            if isinstance(dataset, dict) else dataset
+        self.times = int(times)
+        self.CLASSES = self.dataset.CLASSES
+        self.PALETTE = self.dataset.PALETTE
+        self._ori_len = len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % self._ori_len]
+
+    def get_gt_seg_map(self, idx):
+        return self.dataset.get_gt_seg_map(idx % self._ori_len)
+
+    def pre_eval(self, preds, indices):
+        if not isinstance(indices, (list, tuple)):
+            indices = [indices]
+        return self.dataset.pre_eval(preds,
+                                     [i % self._ori_len for i in indices])
+
+    def evaluate(self, results, **kwargs):
+        return self.dataset.evaluate(results, **kwargs)
+
+    def __len__(self):
+        return self.times * self._ori_len
+
+
+@DATASETS.register_module()
+class ConcatDataset:
+    """(dataset_wrappers.py:16-163): concatenation with per-source or
+    merged evaluation. separate_eval=True prefixes each source's metric
+    keys with its index."""
+
+    def __init__(self, datasets, separate_eval: bool = True):
+        self.datasets = [DATASETS.build(dict(d)) if isinstance(d, dict)
+                         else d for d in datasets]
+        assert self.datasets, 'ConcatDataset needs at least one dataset'
+        sizes = [len(d) for d in self.datasets]
+        self.cumulative_sizes = list(np.cumsum(sizes))
+        self.CLASSES = self.datasets[0].CLASSES
+        self.PALETTE = self.datasets[0].PALETTE
+        self.separate_eval = bool(separate_eval)
+
+    def _locate(self, idx):
+        import bisect
+        d = bisect.bisect_right(self.cumulative_sizes, idx)
+        off = idx - (self.cumulative_sizes[d - 1] if d else 0)
+        return d, off
+
+    def __getitem__(self, idx):
+        d, off = self._locate(idx)
+        return self.datasets[d][off]
+
+    def get_gt_seg_map(self, idx):
+        d, off = self._locate(idx)
+        return self.datasets[d].get_gt_seg_map(off)
+
+    def pre_eval(self, preds, indices):
+        if not isinstance(indices, (list, tuple)):
+            indices = [indices]
+            preds = [preds]
+        out = []
+        for pred, idx in zip(preds, indices):
+            d, off = self._locate(idx)
+            out.extend(self.datasets[d].pre_eval([pred], [off]))
+        return out
+
+    def evaluate(self, results, **kwargs):
+        assert len(results) == self.cumulative_sizes[-1], (
+            f'results size {len(results)} != dataset size '
+            f'{self.cumulative_sizes[-1]}')
+        if not self.separate_eval:
+            assert all(d.CLASSES == self.CLASSES for d in self.datasets), \
+                'merged eval needs identical CLASSES across sources'
+            # merged eval over ONE histogram (chunk-wise averaging would
+            # be wrong): pre_eval tuples go straight to the shared
+            # pre_eval_to_metrics path; full seg maps pair with gathered
+            # gts across all sources
+            if results and isinstance(results[0], tuple):
+                return self.datasets[0].evaluate(results, **kwargs)
+            gts = [self.get_gt_seg_map(i) for i in range(len(self))]
+            from s4former_tpu.core.metrics import eval_metrics
+            metric = kwargs.get('metric', 'mIoU')
+            metrics = [metric] if isinstance(metric, str) else list(metric)
+            t = eval_metrics(results, gts, len(self.CLASSES),
+                             self.datasets[0].ignore_index, metrics)
+            out = {'aAcc': float(t['aAcc'])}
+            for key, vals in t.items():
+                if key != 'aAcc':
+                    out[f'm{key}'] = float(np.nanmean(vals))
+            return out
+        out = {}
+        start = 0
+        for i, (d, end) in enumerate(zip(self.datasets,
+                                         self.cumulative_sizes)):
+            res = d.evaluate(results[start:end], **kwargs)
+            out.update({f'{i}_{k}': v for k, v in res.items()})
+            start = end
+        return out
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+
+@DATASETS.register_module(name='ConcatDataset_SETR')
+class ConcatDatasetSETR(ConcatDataset):
+    """(dataset_wrappers.py:279-291): plain concatenation (the group-flag
+    concat is aspect-ratio batching machinery our loader doesn't need)."""
+
+    def __init__(self, datasets):
+        super().__init__(datasets, separate_eval=True)
+
+
 def build_dataset(cfg: dict):
     return DATASETS.build(dict(cfg))
 
