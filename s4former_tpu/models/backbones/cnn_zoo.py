@@ -16,7 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from s4former_tpu.models.backbones.resnet import ARCH, BasicBlock, ConvBN
+from s4former_tpu.models.backbones.resnet import (ARCH, BasicBlock, ConvBN,
+                                                  _avg_pool_ceil)
 from s4former_tpu.ops.resize import resize_bilinear
 from s4former_tpu.registry import BACKBONES
 
@@ -119,12 +120,10 @@ class SplitAttentionBlock(nn.Module):
         y = ConvBN(self.planes * 4, 1, 1, name='conv3')(y, train,
                                                         relu=False)
         if self.downsample:
-            # ResNetV1d avg_down (mmcv res_layer.py): AvgPool(stride) +
-            # stride-1 1x1 ConvBN
+            # ResNetV1d avg_down (mmcv res_layer.py:49-54): ceil-mode
+            # count_include_pad=False AvgPool(stride) + stride-1 1x1 ConvBN
             if self.stride > 1:
-                identity = nn.avg_pool(
-                    identity, (self.stride, self.stride),
-                    strides=(self.stride, self.stride))
+                identity = _avg_pool_ceil(identity, self.stride)
             identity = ConvBN(self.planes * 4, 1, 1,
                               name='downsample')(identity, train,
                                                  relu=False)
