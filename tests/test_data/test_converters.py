@@ -64,3 +64,26 @@ def test_cityscapes_converter(tmp_path):
     out = np.asarray(Image.open(gt / 'x_gtFine_labelTrainIds.png'))
     assert out[seg == 7].max() == 0 if (seg == 7).any() else True
     assert set(np.unique(out)).issubset({0, 1, 13, 18, 255})
+
+
+def test_pascal_context_mapping():
+    """class_to_index inverts the 60-id table exactly and rejects strays."""
+    import tools.convert_datasets.pascal_context as pc
+    rng = np.random.RandomState(1)
+    # mask drawn from the 60 valid Detail ids, arbitrary positions
+    idx = rng.randint(0, 60, (7, 9))
+    mask = pc._MAPPING[idx]
+    out = pc.class_to_index(mask)
+    assert out.dtype == np.uint8
+    # digitize over the sorted table must be the exact inverse lookup
+    np.testing.assert_array_equal(out, idx.astype(np.uint8))
+    # background id 0 -> class 0 (0 is the smallest mapped id)
+    assert pc.class_to_index(np.zeros((2, 2), np.int64)).max() == 0
+    # ids outside the subset raise with the offending values named
+    bad = mask.copy()
+    bad[0, 0] = 7  # 7 is not in the 60-class subset
+    try:
+        pc.class_to_index(bad)
+        raise AssertionError('expected ValueError on unmapped id')
+    except ValueError as e:
+        assert '7' in str(e)
