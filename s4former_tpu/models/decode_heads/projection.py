@@ -196,37 +196,107 @@ def feature_contrast_loss(features: Array, labels: Array,
         jnp.sum(has_pos.astype(jnp.float32)), 1.0)
 
 
+def _l2norm(x: Array, eps: float = 1e-12) -> Array:
+    # torch F.normalize semantics: x / max(||x||, eps); zero rows -> 0.
+    return x / jnp.maximum(
+        jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
 def feature_contrast_loss_v2(features: Array, labels: Array,
                              memory_bank: Array, memory_count: Array,
-                             negative: bool = False) -> Array:
-    """V2 variant (feature_contrast_v2.py): drops the learned per-class
-    selector MLPs of v1 — features are l2-normalized and pulled toward the
-    MEAN of their class's banked features by plain (1 - cosine) distance;
-    ``negative=True`` additionally pushes away the other classes' means.
+                             negative: bool = False,
+                             n_classes: Optional[int] = None) -> Array:
+    """Exact rebuild of FeatureContrastV2.forward
+    (ref feature_contrast_v2.py:136-191), fixed-shape.
 
-    features [P, D]; labels [P] int; memory_bank [C, N, D] l2-normalized;
-    memory_count [C] valid counts.
+    Reference semantics mirrored precisely:
+    - per class c < n_classes with >1 banked rows AND >1 pixels of that
+      class, the contribution is mean over all (pixel, bank-row) pairs of
+      (1 - cos) — algebraically 1 - mean(norm feats_c) . mean(norm mem_c)
+      (the bank rows are re-normalized in the loss even though the update
+      stores means of normalized vectors);
+    - ``negative=True``: for each contributing class, adds the mean over
+      OTHER classes with >0 banked rows of mean-(1 + sim) — computed
+      against the RAW bank rows (the reference normalizes memory only in
+      the positive branch, feature_contrast_v2.py:176-180) — then divides
+      the total by ``n_classes - 1``, NOT by the number of contributing
+      classes: the reference's inner loop reuses the outer counter
+      variable ``n_c`` (feature_contrast_v2.py:172 ``for n_c in
+      range(self.n_classes)``), clobbering it to n_classes-1. Kept as-is.
+    - ``negative=False`` divides by num_classes (= bank C).
+    - no contributing class: the reference returns int 0 (negative=False)
+      or raises ZeroDivisionError (negative=True); we return 0.0 in both
+      cases (documented divergence, unreachable crash path).
+
+    features [P, D] raw (normalized inside); labels [P] int;
+    memory_bank [C, N, D]; memory_count [C] valid counts; ``n_classes``
+    limits the class loop (defaults to C, the reference's num_classes).
     """
     c, n, d = memory_bank.shape
-    feats = features / jnp.maximum(
-        jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
-    slot_valid = (jnp.arange(n)[None, :] < memory_count[:, None])
-    class_mean = jnp.sum(memory_bank * slot_valid[..., None], axis=1) / \
-        jnp.maximum(memory_count[:, None].astype(jnp.float32), 1.0)
-    class_mean = class_mean / jnp.maximum(
-        jnp.linalg.norm(class_mean, axis=-1, keepdims=True), 1e-12)
-    cos = feats @ class_mean.T                              # [P, C]
-    has_bank = memory_count > 0                             # [C]
-    own = jnp.take_along_axis(cos, labels[:, None], axis=1)[:, 0]
-    valid = has_bank[labels] & (labels < c)
-    pull = jnp.where(valid, 1.0 - own, 0.0)
-    loss = jnp.sum(pull) / jnp.maximum(
-        jnp.sum(valid.astype(jnp.float32)), 1.0)
-    if negative:
-        other = (labels[:, None] != jnp.arange(c)[None]) & has_bank[None]
-        push = jnp.sum(jnp.where(other, jnp.maximum(cos, 0.0), 0.0),
+    nc = c if n_classes is None else n_classes
+    feats = _l2norm(features)                                    # [P, D]
+    slot_valid = (jnp.arange(n)[None, :] <
+                  memory_count[:, None]).astype(feats.dtype)     # [C, N]
+    mem_mean = jnp.sum(_l2norm(memory_bank) * slot_valid[..., None],
                        axis=1) / jnp.maximum(
-            jnp.sum(other.astype(jnp.float32), axis=1), 1.0)
-        loss = loss + jnp.sum(jnp.where(valid, push, 0.0)) / jnp.maximum(
-            jnp.sum(valid.astype(jnp.float32)), 1.0)
-    return loss
+        memory_count[:, None].astype(feats.dtype), 1.0)          # [C, D]
+    cls_mask = (labels[:, None] == jnp.arange(nc)[None, :]
+                ).astype(feats.dtype)                            # [P, nc]
+    cls_cnt = jnp.sum(cls_mask, axis=0)                          # [nc]
+    feat_mean = (cls_mask.T @ feats) / jnp.maximum(
+        cls_cnt[:, None], 1.0)                                   # [nc, D]
+    contrib = (cls_cnt > 1) & (memory_count[:nc] > 1)            # [nc]
+    pos = 1.0 - jnp.sum(feat_mean * mem_mean[:nc], axis=-1)      # [nc]
+    loss = jnp.sum(jnp.where(contrib, pos, 0.0))
+    if not negative:
+        return loss / c
+    raw_mem_mean = jnp.sum(memory_bank * slot_valid[..., None],
+                           axis=1) / jnp.maximum(
+        memory_count[:, None].astype(feats.dtype), 1.0)          # [C, D]
+    sims = feat_mean @ raw_mem_mean[:nc].T                       # [nc, nc]
+    other = ((jnp.arange(nc)[:, None] != jnp.arange(nc)[None, :])
+             & (memory_count[None, :nc] > 0))                    # [c, o]
+    neg_sum = jnp.sum(jnp.where(other, 1.0 + sims, 0.0), axis=1)
+    n_c_cnt = jnp.sum(other.astype(feats.dtype), axis=1)
+    neg = jnp.where(n_c_cnt > 0, neg_sum / jnp.maximum(n_c_cnt, 1.0), 0.0)
+    loss = loss + jnp.sum(jnp.where(contrib, neg, 0.0))
+    return jnp.where(jnp.any(contrib), loss / (nc - 1), 0.0)
+
+
+def add_mean_features_v2(bank: Array, count: Array, features: Array,
+                         labels: Array,
+                         n_classes: Optional[int] = None
+                         ) -> tuple[Array, Array]:
+    """Exact rebuild of FeatureContrastV2.add_features_from_sample_learned
+    (ref feature_contrast_v2.py:118-134, the ACTIVE uncommented path; the
+    herding selector above it is commented out in the reference, as is the
+    use of ``per_class_samples_per_image``/``elements_per_class``):
+    per class with >=1 pixel, append ONE slot — the mean of that class's
+    l2-normalized features; once full, FIFO-shift the bank left and write
+    the mean into the last slot.
+
+    bank [C, N, D]; count [C] int32; features [P, D] raw; labels [P] int.
+    Returns the updated (bank, count).
+    """
+    c, n, d = bank.shape
+    nc = c if n_classes is None else n_classes
+    feats = _l2norm(features)
+
+    def per_class(ci, st):
+        bk, cnt = st
+        mask = (labels == ci)
+        m = jnp.sum(mask.astype(feats.dtype))
+        mean_c = jnp.sum(feats * mask[:, None].astype(feats.dtype),
+                         axis=0) / jnp.maximum(m, 1.0)
+        bank_c = bk[ci]
+        saved = cnt[ci]
+        full = saved + 1 > n
+        shifted = jnp.roll(bank_c, -1, axis=0).at[n - 1].set(mean_c)
+        appended = jax.lax.dynamic_update_slice(
+            bank_c, mean_c[None].astype(bank_c.dtype), (saved, 0))
+        new_bank_c = jnp.where(full, shifted, appended)
+        new_bank_c = jnp.where(m > 0, new_bank_c, bank_c)
+        new_saved = jnp.where(m > 0, jnp.minimum(saved + 1, n), saved)
+        return bk.at[ci].set(new_bank_c), cnt.at[ci].set(new_saved)
+
+    return jax.lax.fori_loop(0, nc, per_class, (bank, count))

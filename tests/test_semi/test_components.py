@@ -191,29 +191,26 @@ def test_pseudo_ce_mean_over_all_pixels():
     assert abs(float(pseudo_ce_loss(logits, label)) - expected) < 1e-6
 
 
-def test_feature_contrast_v2_pull_and_negative():
+def test_feature_contrast_v2_basic():
+    """Sanity: contributing classes need >1 pixels AND >1 banked rows;
+    empty-bank classes contribute 0. Exact-parity coverage lives in
+    tests/test_core/test_feature_contrast_v2_parity.py (torch oracle)."""
     import jax.numpy as jnp
     import numpy as np
     from s4former_tpu.models.decode_heads.projection import \
         feature_contrast_loss_v2
     rng = np.random.RandomState(0)
-    bank = rng.randn(3, 4, 8).astype(np.float32)
-    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    bank = jnp.asarray(rng.randn(3, 4, 8).astype(np.float32))
     count = jnp.asarray([4, 4, 0])
-    # features exactly at their class mean -> pull loss ~ 0
-    mean0 = bank[0].mean(0)
-    mean0 /= np.linalg.norm(mean0)
-    feats = jnp.asarray(np.stack([mean0, mean0]))
-    labels = jnp.asarray([0, 0])
-    l0 = feature_contrast_loss_v2(feats, labels, jnp.asarray(bank), count)
-    assert float(l0) < 1e-5
-    # random features -> positive loss; negative mode >= plain
-    featsr = jnp.asarray(rng.randn(5, 8).astype(np.float32))
-    labr = jnp.asarray([0, 1, 0, 1, 2])
-    l1 = feature_contrast_loss_v2(featsr, labr, jnp.asarray(bank), count)
-    l2 = feature_contrast_loss_v2(featsr, labr, jnp.asarray(bank), count,
+    featsr = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    labr = jnp.asarray([0, 1, 0, 1, 2, 2])
+    l1 = feature_contrast_loss_v2(featsr, labr, bank, count)
+    l2 = feature_contrast_loss_v2(featsr, labr, bank, count,
                                   negative=True)
-    assert float(l1) > 0 and float(l2) >= float(l1)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    # class 2 has pixels but an empty bank: dropping it changes nothing
+    l1b = feature_contrast_loss_v2(featsr[:4], labr[:4], bank, count)
+    assert abs(float(l1) - float(l1b)) < 1e-6
 
 
 def _ncr_sup_reference(student, teacher, label, num_classes):
