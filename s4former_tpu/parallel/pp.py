@@ -119,3 +119,166 @@ def pipeline_apply(layer_fn: Callable[[Pytree, jax.Array], jax.Array],
         check_vma=False)
     outs = shard(chunked, xs)
     return outs.reshape(b, *x.shape[1:])
+
+
+# --------------------------------------------------------------------------
+# 3-D composition: data x pipe x model (tensor parallelism INSIDE each
+# pipeline stage). The GSPMD TP of parallel/tp.py cannot be used inside
+# shard_map (manual mode), so the transformer block is re-expressed with
+# explicit Megatron collectives: qkv/fc1 column-split, proj/fc2 row-split
+# with a `psum` over 'model' — the only two communications per layer.
+# Numerics are pinned against the sequential flax stack in
+# tests/test_parallel/test_pp.py (fwd AND grads).
+# --------------------------------------------------------------------------
+
+def make_pp_tp_mesh(num_stages: int, model_parallel: int,
+                    n_devices: Optional[int] = None) -> Mesh:
+    """('data', 'pipe', 'model') mesh. 'model' is fastest-varying (the
+    per-layer psum rides adjacent devices), then 'pipe' (one ICI hop per
+    stage boundary), then 'data' (gradient all-reduce, least frequent)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % (num_stages * model_parallel) == 0, (
+        n, num_stages, model_parallel)
+    arr = np.asarray(devices).reshape(
+        n // (num_stages * model_parallel), num_stages, model_parallel)
+    return Mesh(arr, axis_names=('data', 'pipe', 'model'))
+
+
+def _repack_qkv(leaf: jax.Array, embed_dims: int, num_heads: int,
+                model_parallel: int) -> jax.Array:
+    """Reorder the packed q|k|v output axis (length 3C, torch-MHA layout)
+    into per-rank packs q_r|k_r|v_r so a contiguous 'model' shard of the
+    last axis is a complete local attention block (head-aligned)."""
+    c, h, mp = embed_dims, num_heads, model_parallel
+    blk = (h // mp) * (c // h)
+    idx = np.concatenate([
+        np.arange(part * c + r * blk, part * c + (r + 1) * blk)
+        for r in range(mp) for part in range(3)])
+    return jnp.take(leaf, jnp.asarray(idx), axis=-1)
+
+
+def _tp_block(p, x, num_heads_local: int, eps: float = 1e-6):
+    """One pre-LN transformer block with rank-local TP shards; matches
+    TransformerEncoderLayer numerics (models/backbones/vit.py:98-142,
+    XLA attention path, deterministic, no attn bias)."""
+    def ln(v, scale, bias):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.var(v, axis=-1, keepdims=True)
+        return (v - mu) / jnp.sqrt(var + eps) * scale + bias
+
+    b, l, c = x.shape
+    hl = num_heads_local
+    y = ln(x, p['ln1_s'], p['ln1_b'])
+    qkv = y @ p['qkv_k'] + p['qkv_b']            # [b, L, 3C/mp]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    d = q.shape[-1] // hl
+    q = q.reshape(b, l, hl, d)
+    k = k.reshape(b, l, hl, d)
+    v = v.reshape(b, l, hl, d)
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(d)), axis=-1)
+    out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, l, hl * d)
+    attn = jax.lax.psum(out @ p['proj_k'], 'model') + p['proj_b']
+    x = x + attn
+    z = ln(x, p['ln2_s'], p['ln2_b'])
+    h1 = jax.nn.gelu(z @ p['fc1_k'] + p['fc1_b'], approximate=False)
+    ffn = jax.lax.psum(h1 @ p['fc2_k'], 'model') + p['fc2_b']
+    return x + ffn
+
+
+def pipeline_apply_tp(stacked_params: Pytree,
+                      x: jax.Array,
+                      mesh: Mesh,
+                      num_microbatches: int,
+                      num_heads: int) -> jax.Array:
+    """GPipe over 'pipe' with each stage's layers tensor-parallel over
+    'model' and the microbatch sharded over 'data' — full 3-D parallelism
+    of the ViT stack in one shard_map.
+
+    Args:
+      stacked_params: TransformerEncoderLayer param tree with leading
+        [num_layers] axis on every leaf (the `nn.scan` layout:
+        ln1/attn.qkv/attn.proj/ln2/ffn.fc1/ffn.fc2).
+      x: [B, L, C] tokens; B % (num_microbatches * data) == 0.
+      mesh: from make_pp_tp_mesh.
+      num_heads: global head count; % model_parallel == 0.
+
+    Returns [B, L, C], replicated over 'pipe'/'model', sharded over
+    'data' (same layout as the input).
+    """
+    s = mesh.shape['pipe']
+    mp = mesh.shape['model']
+    assert num_heads % mp == 0, (num_heads, mp)
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    assert num_layers % s == 0, (num_layers, s)
+    b, l, c = x.shape
+    m = num_microbatches
+    assert b % m == 0, (b, m)
+    xs = x.reshape(m, b // m, l, c)
+
+    sp = stacked_params
+    leaves = {
+        'ln1_s': sp['ln1']['scale'], 'ln1_b': sp['ln1']['bias'],
+        'qkv_k': _repack_qkv(sp['attn']['qkv']['kernel'], c, num_heads, mp),
+        'qkv_b': _repack_qkv(sp['attn']['qkv']['bias'], c, num_heads, mp),
+        'proj_k': sp['attn']['proj']['kernel'],
+        'proj_b': sp['attn']['proj']['bias'],
+        'ln2_s': sp['ln2']['scale'], 'ln2_b': sp['ln2']['bias'],
+        'fc1_k': sp['ffn']['fc1']['kernel'],
+        'fc1_b': sp['ffn']['fc1']['bias'],
+        'fc2_k': sp['ffn']['fc2']['kernel'],
+        'fc2_b': sp['ffn']['fc2']['bias'],
+    }
+    # [L, ...] -> [S, L/S, ...]
+    leaves = {k: v.reshape(s, num_layers // s, *v.shape[1:])
+              for k, v in leaves.items()}
+    specs = {
+        'ln1_s': P('pipe'), 'ln1_b': P('pipe'),
+        'qkv_k': P('pipe', None, None, 'model'),
+        'qkv_b': P('pipe', None, 'model'),
+        'proj_k': P('pipe', None, 'model', None),
+        'proj_b': P('pipe'),
+        'ln2_s': P('pipe'), 'ln2_b': P('pipe'),
+        'fc1_k': P('pipe', None, None, 'model'),
+        'fc1_b': P('pipe', None, 'model'),
+        'fc2_k': P('pipe', None, 'model', None),
+        'fc2_b': P('pipe'),
+    }
+    hl = num_heads // mp
+
+    def stage(p, xs):
+        p = {k: v[0] for k, v in p.items()}      # local stage chunk
+        idx = jax.lax.axis_index('pipe')
+
+        def chunk(act):
+            def body(carry, p1):
+                return _tp_block(p1, carry, hl), None
+            out, _ = jax.lax.scan(body, act, p)
+            return out
+
+        carry = jnp.zeros_like(xs[0])
+        outs = jnp.zeros_like(xs)
+        perm = [(i, (i + 1) % s) for i in range(s)]
+        for t in range(m + s - 1):
+            inject = xs[min(t, m - 1)] if t < m else jnp.zeros_like(carry)
+            act = jnp.where(idx == 0, inject, carry)
+            y = chunk(act)
+            k = t - (s - 1)
+            if k >= 0:
+                outs = jnp.where(idx == s - 1, outs.at[k].set(y), outs)
+            carry = jax.lax.ppermute(y, 'pipe', perm)
+        return jax.lax.psum(outs, 'pipe')
+
+    shard = jax.shard_map(
+        stage, mesh=mesh,
+        in_specs=(specs, P(None, 'data')),
+        out_specs=P(None, 'data'),
+        check_vma=False)
+    outs = shard(leaves, xs)
+    return outs.reshape(b, l, c)

@@ -86,3 +86,45 @@ def test_pipeline_bubble_independence():
     # microbatch shape changes XLA's fusion tiling -> f32 noise only
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------- 3-D composition
+from s4former_tpu.parallel.pp import make_pp_tp_mesh, pipeline_apply_tp
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_pipeline_tp_matches_sequential():
+    """data=2 x pipe=2 x model=2: the manual-Megatron block inside the
+    GPipe schedule reproduces the sequential flax stack."""
+    layer_fn, stacked = _setup()
+    mesh = make_pp_tp_mesh(num_stages=2, model_parallel=2, n_devices=8)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, T, C))
+
+    ref = _sequential(layer_fn, stacked, x)
+    got = jax.jit(lambda p, x: pipeline_apply_tp(p, x, mesh, M, HEADS))(
+        stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_pipeline_tp_grads_match_sequential():
+    layer_fn, stacked = _setup()
+    mesh = make_pp_tp_mesh(num_stages=2, model_parallel=2, n_devices=8)
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, T, C))
+    tgt = jax.random.normal(jax.random.PRNGKey(7), (8, T, C))
+
+    def loss_seq(p):
+        return jnp.mean((_sequential(layer_fn, p, x) - tgt) ** 2)
+
+    def loss_3d(p):
+        return jnp.mean((pipeline_apply_tp(p, x, mesh, M, HEADS) - tgt)
+                        ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_seq)(stacked)
+    l_3d, g_3d = jax.jit(jax.value_and_grad(loss_3d))(stacked)
+    np.testing.assert_allclose(float(l_3d), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_3d),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
