@@ -160,18 +160,36 @@ def _repack_qkv(leaf: jax.Array, embed_dims: int, num_heads: int,
     return jnp.take(leaf, jnp.asarray(idx), axis=-1)
 
 
-def _tp_block(p, x, num_heads_local: int, eps: float = 1e-6):
+def _tp_block(p, x, num_heads_local: int, eps: float = 1e-6,
+              sequence_parallel: bool = False):
     """One pre-LN transformer block with rank-local TP shards; matches
     TransformerEncoderLayer numerics (models/backbones/vit.py:98-142,
-    XLA attention path, deterministic, no attn bias)."""
+    XLA attention path, deterministic, no attn bias).
+
+    ``sequence_parallel`` (Megatron-SP, Korthikanti et al. 2022): x is
+    SEQUENCE-sharded [b, L/mp, C] between blocks — LayerNorms and the
+    residual stream run on the local chunk, an all-gather over 'model'
+    precedes each column-split matmul, and the row-split partial sums
+    reduce-scatter back along L instead of all-reducing. Same bandwidth
+    as plain TP (AG+RS == AR), 1/mp the inter-block activation bytes.
+    """
     def ln(v, scale, bias):
         mu = jnp.mean(v, axis=-1, keepdims=True)
         var = jnp.var(v, axis=-1, keepdims=True)
         return (v - mu) / jnp.sqrt(var + eps) * scale + bias
 
-    b, l, c = x.shape
+    def gather(v):
+        return jax.lax.all_gather(v, 'model', axis=1, tiled=True) \
+            if sequence_parallel else v
+
+    def reduce(v):
+        return jax.lax.psum_scatter(v, 'model', scatter_dimension=1,
+                                    tiled=True) \
+            if sequence_parallel else jax.lax.psum(v, 'model')
+
     hl = num_heads_local
-    y = ln(x, p['ln1_s'], p['ln1_b'])
+    y = gather(ln(x, p['ln1_s'], p['ln1_b']))    # [b, L, C]
+    b, l, c = y.shape
     qkv = y @ p['qkv_k'] + p['qkv_b']            # [b, L, 3C/mp]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     d = q.shape[-1] // hl
@@ -184,11 +202,11 @@ def _tp_block(p, x, num_heads_local: int, eps: float = 1e-6):
     out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, l, hl * d)
-    attn = jax.lax.psum(out @ p['proj_k'], 'model') + p['proj_b']
+    attn = reduce(out @ p['proj_k']) + p['proj_b']
     x = x + attn
-    z = ln(x, p['ln2_s'], p['ln2_b'])
+    z = gather(ln(x, p['ln2_s'], p['ln2_b']))
     h1 = jax.nn.gelu(z @ p['fc1_k'] + p['fc1_b'], approximate=False)
-    ffn = jax.lax.psum(h1 @ p['fc2_k'], 'model') + p['fc2_b']
+    ffn = reduce(h1 @ p['fc2_k']) + p['fc2_b']
     return x + ffn
 
 
@@ -196,7 +214,8 @@ def pipeline_apply_tp(stacked_params: Pytree,
                       x: jax.Array,
                       mesh: Mesh,
                       num_microbatches: int,
-                      num_heads: int) -> jax.Array:
+                      num_heads: int,
+                      sequence_parallel: bool = False) -> jax.Array:
     """GPipe over 'pipe' with each stage's layers tensor-parallel over
     'model' and the microbatch sharded over 'data' — full 3-D parallelism
     of the ViT stack in one shard_map.
@@ -208,6 +227,10 @@ def pipeline_apply_tp(stacked_params: Pytree,
       x: [B, L, C] tokens; B % (num_microbatches * data) == 0.
       mesh: from make_pp_tp_mesh.
       num_heads: global head count; % model_parallel == 0.
+      sequence_parallel: Megatron-SP — inter-block activations (and the
+        pipeline's ppermute traffic) are sequence-sharded over 'model';
+        requires L % model_parallel == 0 (pad 1025 -> 1026 for the
+        flagship's cls+32x32 geometry).
 
     Returns [B, L, C], replicated over 'pipe'/'model', sharded over
     'data' (same layout as the input).
@@ -218,6 +241,8 @@ def pipeline_apply_tp(stacked_params: Pytree,
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     assert num_layers % s == 0, (num_layers, s)
     b, l, c = x.shape
+    if sequence_parallel:
+        assert l % mp == 0, (l, mp)
     m = num_microbatches
     assert b % m == 0, (b, m)
     xs = x.reshape(m, b // m, l, c)
@@ -258,7 +283,8 @@ def pipeline_apply_tp(stacked_params: Pytree,
 
         def chunk(act):
             def body(carry, p1):
-                return _tp_block(p1, carry, hl), None
+                return _tp_block(p1, carry, hl,
+                                 sequence_parallel=sequence_parallel), None
             out, _ = jax.lax.scan(body, act, p)
             return out
 
@@ -275,10 +301,15 @@ def pipeline_apply_tp(stacked_params: Pytree,
             carry = jax.lax.ppermute(y, 'pipe', perm)
         return jax.lax.psum(outs, 'pipe')
 
+    # under SP the token axis (axis 2 of [M, b, L, C]) is sharded over
+    # 'model' end to end: injected microbatches, the ppermuted carry, and
+    # the banked outputs all move 1/mp-sized tensors
+    x_spec = P(None, 'data', 'model') if sequence_parallel \
+        else P(None, 'data')
     shard = jax.shard_map(
         stage, mesh=mesh,
-        in_specs=(specs, P(None, 'data')),
-        out_specs=P(None, 'data'),
+        in_specs=(specs, x_spec),
+        out_specs=x_spec,
         check_vma=False)
     outs = shard(leaves, xs)
     return outs.reshape(b, l, c)

@@ -128,3 +128,38 @@ def test_pipeline_tp_grads_match_sequential():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_pipeline_tp_sequence_parallel_matches_sequential():
+    """Megatron-SP inside the 3-D composition: inter-block activations
+    sequence-sharded over 'model' (all-gather before the column matmuls,
+    reduce-scatter after the row matmuls) — numerics unchanged. L=16
+    (L % model_parallel == 0 required)."""
+    layer_fn, stacked = _setup()
+    mesh = make_pp_tp_mesh(num_stages=2, model_parallel=2, n_devices=8)
+    x = jax.random.normal(jax.random.PRNGKey(8), (8, 16, C))
+
+    ref = _sequential(layer_fn, stacked, x)
+    got = jax.jit(lambda p, x: pipeline_apply_tp(
+        p, x, mesh, M, HEADS, sequence_parallel=True))(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # grads too
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (8, 16, C))
+
+    def loss_seq(p):
+        return jnp.mean((_sequential(layer_fn, p, x) - tgt) ** 2)
+
+    def loss_sp(p):
+        return jnp.mean((pipeline_apply_tp(
+            p, x, mesh, M, HEADS, sequence_parallel=True) - tgt) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_seq)(stacked)
+    l_sp, g_sp = jax.jit(jax.value_and_grad(loss_sp))(stacked)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
