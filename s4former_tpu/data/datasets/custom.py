@@ -176,6 +176,14 @@ class CustomDataset:
                 out[f'{key}.{name}'] = float(v)
         return out
 
+    def format_results(self, results, imgfile_prefix, indices=None,
+                       **kwargs):
+        """Placeholder, dataset-specific (ref custom.py:275-277) —
+        CityscapesDataset materializes labelId submission PNGs."""
+        raise NotImplementedError(
+            f'{type(self).__name__} defines no submission format; '
+            'use a dataset with format_results (e.g. cityscapes)')
+
 
 @DATASETS.register_module()
 class PascalVOCDataset(CustomDataset):

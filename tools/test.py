@@ -20,6 +20,12 @@ def parse_args():
     parser.add_argument('checkpoint', nargs='?', default=None)
     parser.add_argument('--eval', nargs='+', default=['mIoU'])
     parser.add_argument('--show-dir', help='save painted results here')
+    parser.add_argument('--format-only', action='store_true',
+                        help='materialize submission files via '
+                             'dataset.format_results, skip evaluation '
+                             '(reference tools/test.py --format-only)')
+    parser.add_argument('--imgfile-prefix', default='format_results',
+                        help='output dir for --format-only')
     parser.add_argument('--opacity', type=float, default=0.5)
     from s4former_tpu.config import DictAction
     parser.add_argument('--cfg-options', nargs='+', action=DictAction,
@@ -136,9 +142,19 @@ def main():
                 args.show_dir,
                 osp.basename(dataset.img_infos[idx]['ori_filename'])
                 .replace('.jpg', '.png')))
-        pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
+        if args.format_only:
+            # streamed per-image so the full prediction set never sits in
+            # RAM (reference format_only collects all results first)
+            dataset.format_results([pred], args.imgfile_prefix,
+                                   indices=[idx])
+        else:
+            pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
         if (idx + 1) % 50 == 0:
             logger.info(f'{idx + 1}/{len(dataset)} images')
+
+    if args.format_only:
+        logger.info(f'wrote submission files to {args.imgfile_prefix}')
+        return
 
     results = dataset.evaluate(pre_eval_results, metric=args.eval)
     for k, v in results.items():
