@@ -19,6 +19,11 @@ def parse_args():
     parser.add_argument('config')
     parser.add_argument('checkpoint', nargs='?', default=None)
     parser.add_argument('--eval', nargs='+', default=['mIoU'])
+    parser.add_argument('--aug-test', action='store_true',
+                        help='multi-scale (0.5-1.75) + flip TTA '
+                             '(reference tools/test.py --aug-test)')
+    parser.add_argument('--out', help='dump raw predictions here '
+                                      '(.pkl, reference --out)')
     parser.add_argument('--show-dir', help='save painted results here')
     parser.add_argument('--format-only', action='store_true',
                         help='materialize submission files via '
@@ -121,17 +126,33 @@ def main():
             matrix_cache[key] = (jnp.asarray(m_h), jnp.asarray(m_w))
         return matrix_cache[key]
 
+    tta_segmentor = None
+    if args.aug_test:
+        from s4former_tpu.apis import Segmentor
+        tta_segmentor = Segmentor(model, variables, cfg)
+
     pre_eval_results = []
+    dumped = []
     for idx in range(len(dataset)):
-        item = dataset.get_item_deterministic(idx, seed=0)
-        if isinstance(item, list):
-            item = item[0]
-        img = np.asarray(item['img'], np.float32)[None]
-        img, (vh, vw) = _pad_to_bucket(img, bucket)
         gt = dataset.get_gt_seg_map(idx)
         gh, gw = gt.shape
-        m_h, m_w = matrices(vh, vw, img.shape[1], img.shape[2], gh, gw)
-        pred = np.asarray(_pred_fn(variables, img, m_h, m_w))[0, :gh, :gw]
+        if args.aug_test:
+            # reference --aug-test: MultiScaleFlipAug ratios + flip,
+            # softmax-averaged at the original resolution
+            from s4former_tpu.apis import inference_segmentor_tta
+            pred = inference_segmentor_tta(
+                tta_segmentor, dataset.img_infos[idx]['filename'])
+        else:
+            item = dataset.get_item_deterministic(idx, seed=0)
+            if isinstance(item, list):
+                item = item[0]
+            img = np.asarray(item['img'], np.float32)[None]
+            img, (vh, vw) = _pad_to_bucket(img, bucket)
+            m_h, m_w = matrices(vh, vw, img.shape[1], img.shape[2], gh, gw)
+            pred = np.asarray(
+                _pred_fn(variables, img, m_h, m_w))[0, :gh, :gw]
+        if args.out:
+            dumped.append(pred.astype(np.uint8))
         if args.show_dir:
             os.makedirs(args.show_dir, exist_ok=True)
             out = paint_result(
@@ -151,6 +172,12 @@ def main():
             pre_eval_results.extend(dataset.pre_eval([pred], [idx]))
         if (idx + 1) % 50 == 0:
             logger.info(f'{idx + 1}/{len(dataset)} images')
+
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(dumped, f)
+        logger.info(f'wrote {len(dumped)} predictions to {args.out}')
 
     if args.format_only:
         logger.info(f'wrote submission files to {args.imgfile_prefix}')
