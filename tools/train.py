@@ -25,6 +25,14 @@ def parse_args():
     parser.add_argument('--resume-from', help='checkpoint to resume from')
     parser.add_argument('--auto-resume', action='store_true')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--diff-seed', action='store_true',
+                        help='fold the process index into the seed so '
+                             'each host draws distinct randomness '
+                             '(reference --diff_seed)')
+    parser.add_argument('--deterministic', action='store_true',
+                        help='accepted for reference-CLI parity; XLA '
+                             'compilation is already deterministic (the '
+                             'reference flag toggles cuDNN autotune)')
     parser.add_argument('--max-iters', type=int, default=None,
                         help='override runner.max_iters')
     parser.add_argument('--no-validate', action='store_true')
@@ -71,6 +79,12 @@ def main():
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
+    if args.diff_seed:
+        args.seed = args.seed + jax.process_index()
+    if args.deterministic:
+        # XLA has no cuDNN-benchmark nondeterminism to disable; the flag
+        # exists so reference launch scripts run unmodified
+        pass
 
     work_dir = args.work_dir or osp.join(
         'work_dirs', osp.splitext(osp.basename(args.config))[0])
