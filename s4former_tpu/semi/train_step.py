@@ -481,7 +481,9 @@ def make_semi_train_step(model,
 
                 unsup = unimatch_unsup_losses(
                     cfg, r_mix, batch, teacher, teacher_mix, pasa_bias,
-                    apply_decode, num_classes)
+                    apply_decode, num_classes,
+                    overrides={key[4:]: v for key, v in batch.items()
+                               if key.startswith('dbg_')})
                 bs = bs_box['bs']
                 logs_w = jnp.asarray(cfg.unsup_weight, jnp.float32)
                 if cfg.iter_unsup_start != 0:

@@ -32,11 +32,14 @@ Array = jax.Array
 
 def cutmix_unimatch(key: jax.Array, imgs: Array, mix_imgs: Array,
                     labels: Array, mix_labels: Array,
-                    ratio: float = 2.0) -> Tuple[Array, Array]:
+                    ratio: float = 2.0,
+                    masks: Optional[Array] = None) -> Tuple[Array, Array]:
     """Per-sample box: inside the box take the MIX stream's pixels/labels
     (same batch index), outside keep the original. Labels may live at
     head-output resolution; mix at image resolution, resize back (the
     reference's nearest pre/post-resize, generate_unsup_data.py:410-452).
+    ``masks`` ([B,H,W] {0,1}, 0 = take the mix stream) overrides the
+    random boxes — parity-harness injection.
     """
     from s4former_tpu.ops.resize import resize_nearest
     b, h, w, _ = imgs.shape
@@ -44,8 +47,9 @@ def cutmix_unimatch(key: jax.Array, imgs: Array, mix_imgs: Array,
     lab = labels if label_hw == (h, w) else resize_nearest(labels, (h, w))
     mix_lab = mix_labels if label_hw == (h, w) else \
         resize_nearest(mix_labels, (h, w))
-    masks = jax.vmap(lambda k: mixes.random_box_mask(k, (h, w), ratio))(
-        jax.random.split(key, b))
+    if masks is None:
+        masks = jax.vmap(lambda k: mixes.random_box_mask(k, (h, w), ratio))(
+            jax.random.split(key, b))
     m4 = masks[..., None]
     new_imgs = imgs * m4 + mix_imgs * (1.0 - m4)
     new_labels = jnp.where(masks > 0.5, lab, mix_lab)
@@ -62,10 +66,16 @@ def unimatch_unsup_losses(
         teacher_mix: TeacherInfo,
         pasa_bias: Optional[Array],
         apply_decode: Callable,
-        num_classes: int) -> Dict[str, Array]:
+        num_classes: int,
+        overrides: Optional[Dict[str, Array]] = None) -> Dict[str, Array]:
     """apply_decode(img, attn_bias=None, use_fdrop=False, patchmix_perm=None,
     patchmix_n=0) -> student decode logits (threads batch_stats in caller).
+
+    ``overrides`` (parity harness only): 'um_cutmix_mask_{1,2}' [B,H,W]
+    {0,1} boxes (forces the strong-aug gate ON), 'um_patchmix_perm_{1,2}'
+    [B, G*G] permutations (identity row = unshuffled sample).
     """
+    ov = overrides or {}
     k = jax.random.split(rng, 6)
     losses: Dict[str, Array] = {}
 
@@ -86,16 +96,26 @@ def unimatch_unsup_losses(
         mix_imgs = batch[mix_key]
         labels = teacher.hard_label
         kg, kc, kp = jax.random.split(kk, 3)
-        gate = jax.random.bernoulli(kg, cfg.strong_aug_prob)
+        inj_mask = ov.get(f'um_cutmix_mask_{idx}')
+        gate = jnp.asarray(True) if inj_mask is not None else \
+            jax.random.bernoulli(kg, cfg.strong_aug_prob)
         mi, ml = cutmix_unimatch(kc, imgs, mix_imgs, labels,
-                                 teacher_mix.hard_label, cfg.cutout_area)
+                                 teacher_mix.hard_label, cfg.cutout_area,
+                                 masks=inj_mask)
         imgs = jnp.where(gate, mi, imgs)
         labels = jnp.where(gate, ml, labels)
         perm = None
         n = 0
         if cfg.use_PatchShuffle:
-            imgs, perm = mixes.patch_shuffle(
-                kp, imgs, cfg.PatchMix_N, cfg.patchsize, cfg.patchmix_ratio)
+            inj_perm = ov.get(f'um_patchmix_perm_{idx}')
+            if inj_perm is not None:
+                perm = inj_perm
+                imgs = mixes.apply_patch_perm(imgs, perm, cfg.PatchMix_N,
+                                              cfg.patchsize)
+            else:
+                imgs, perm = mixes.patch_shuffle(
+                    kp, imgs, cfg.PatchMix_N, cfg.patchsize,
+                    cfg.patchmix_ratio)
             n = cfg.PatchMix_N
         logits = apply_decode(imgs, patchmix_perm=perm, patchmix_n=n)
         losses[f'loss_seg_unsup_{idx}'] = 0.25 * pseudo_ce_loss(
