@@ -110,13 +110,16 @@ def capture(trace_dir: str, steps: int = 3):
         donate_argnums=0)
     state = create_train_state(variables, ema=True)
     rng = np.random.RandomState(0)
+    bs = int(os.environ.get('BENCH_SUP_PER_CHIP', 4))
+    bu = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 4))
     batch = {
-        'sup_img': jnp.asarray(rng.randn(4, 512, 512, 3), jnp.float32),
-        'sup_gt': jnp.asarray(rng.randint(0, 21, (4, 512, 512)), jnp.int32),
+        'sup_img': jnp.asarray(rng.randn(bs, 512, 512, 3), jnp.float32),
+        'sup_gt': jnp.asarray(rng.randint(0, 21, (bs, 512, 512)),
+                              jnp.int32),
         'unsup_teacher_img':
-            jnp.asarray(rng.randn(4, 512, 512, 3), jnp.float32),
+            jnp.asarray(rng.randn(bu, 512, 512, 3), jnp.float32),
         'unsup_student_img':
-            jnp.asarray(rng.randn(4, 512, 512, 3), jnp.float32),
+            jnp.asarray(rng.randn(bu, 512, 512, 3), jnp.float32),
     }
     key = jax.random.PRNGKey(0)
 
