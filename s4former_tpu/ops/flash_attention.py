@@ -10,7 +10,11 @@ Internal layout: q, k, v are flattened to [B*H, L, D] (TPU block rules:
 the last two block dims must be (8,128)-aligned or full — D=64 rides as a
 full dim). Forward saves per-row logsumexp; backward recomputes
 probabilities blockwise (flash-attention-2 style: dk/dv from a q-loop
-kernel, dq from a k-loop kernel).
+kernel, dq from a k-loop kernel). When the whole padded sequence fits a
+single (q, k) block — the flagship L=1025 geometry — the backward runs
+as ONE fused dq+dk+dv kernel instead, skipping the duplicated score
+recompute and ``do @ v^T`` (3 of 8 bwd matmuls) and reading the
+operands from HBM once.
 
 The bias input is treated as non-differentiable (PASA bias comes from
 stop-gradient'd teacher confidence; the learnable-sigma ablation uses the
@@ -215,6 +219,117 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, dk_ref, dv_ref,
+                      *, sm_scale, valid_len):
+    """Single-block dq+dk+dv in ONE pass (flagship L=1025 case).
+
+    When the whole padded sequence fits one (q, k) block — the shipped
+    DeiT-B geometry — the two-kernel flash-2 schedule recomputes the
+    score matrix and ``do @ v^T`` twice for nothing. Fusing removes 3 of
+    the 8 backward matmuls (~29% of bwd FLOPs) and reads q/k/v/do/bias
+    from HBM once instead of twice. Masking both padded rows AND padded
+    cols to -inf zeroes p there (padded-row lse is log(valid_len) from
+    the zero-padded forward, so exp stays exactly 0), which keeps dk/dv
+    clean and leaves only the sliced-off padded dq rows as garbage —
+    the same contract as the two-kernel path.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :]
+    delta = delta_ref[0, 0, :]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where((row < valid_len) & (col < valid_len), s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    p_lo = p.astype(q.dtype)
+    do_lo = do.astype(q.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p_lo, do_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dpv = jax.lax.dot_general(do_lo, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = (p * (dpv - delta[:, None])).astype(q.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
+               blk_q, blk_k, valid_len, interpret):
+    bh, lq, d = q.shape
+    in_specs = [
+        pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        bias_heads = bias.shape[1]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, blk_q, blk_k),
+            lambda b: (b // num_heads,
+                       (b % num_heads) if bias_heads > 1 else 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(bias)
+        kernel = functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
+                                   valid_len=valid_len)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, dor, lser, dr, dq, dk, dv, **kw:
+            _bwd_fused_kernel(qr, kr, vr, None, dor, lser, dr,
+                              dq, dk, dv, **kw),
+            sm_scale=sm_scale, valid_len=valid_len)
+    in_specs += [
+        pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [do, lse, delta]
+    # the fused kernel keeps p AND ds live together; in f32 mode that can
+    # brush the 32M grant the two-kernel schedule was sized for — scale up
+    # (v5e has 128M VMEM)
+    vmem = _VMEM_LIMIT if q.dtype == jnp.bfloat16 \
+        else max(_VMEM_LIMIT, 64 * 1024 * 1024)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, dq_acc, *, sm_scale, blk_k,
                    valid_len):
@@ -260,6 +375,12 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
     lk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)[:, None, :]               # [BH, 1, L]
+
+    if _cdiv(lq, blk_q) == 1 and _cdiv(lk, blk_k) == 1:
+        # whole sequence in one (q, k) block — the flagship L=1025 case:
+        # one fused kernel instead of the two-kernel flash-2 schedule
+        return _bwd_fused(q, k, v, bias, do, lse, delta, num_heads,
+                          sm_scale, blk_q, blk_k, valid_len, interpret)
 
     qkv_specs_kq = [  # grid (bh, kblocks, qblocks): q varies innermost
         pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),

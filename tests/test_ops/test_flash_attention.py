@@ -96,6 +96,54 @@ def test_backward_odd_length(qkvb):
                                    err_msg=f'd{name}')
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize('with_bias', [True, False],
+                         ids=['pasa_bias', 'no_bias'])
+def test_backward_fused_single_block(qkvb, with_bias):
+    """Default (adaptive) blocks at L=256 put the whole sequence in one
+    (q, k) block, which dispatches the FUSED single-pass backward kernel
+    (the flagship L=1025 schedule) instead of the two-kernel path."""
+    q, k, v, bias = qkvb
+    bias = bias if with_bias else None
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias) ** 2)
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, bias)
+        return jnp.sum(out ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f'd{name}')
+
+
+@pytest.mark.slow
+def test_backward_fused_odd_length(qkvb):
+    """Fused-kernel padded row/col masking: L=130 pads to one 256 block;
+    dk/dv must be clean of padded-row contributions and dq of padded-col
+    ones (both masks live in the ONE fused score matrix)."""
+    q, k, v, _ = qkvb
+    q2, k2, v2 = q[:, :130], k[:, :130], v[:, :130]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None) ** 2)
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, None)
+        return jnp.sum(out ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q2, k2, v2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f'd{name}')
+
+
 def test_differentiable_bias_contract(qkvb):
     """Guard: the flash path's bias is non-differentiable by API contract —
     stop_gradient is applied inside flash_attention (bias grads are exactly
