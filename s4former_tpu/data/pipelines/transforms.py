@@ -104,14 +104,42 @@ class Compose:
 
 @PIPELINES.register_module()
 class LoadImageFromFile:
-    """(loading.py:24): read RGB image, record shape metas."""
+    """(loading.py:24-49): read image, record shape metas.
 
-    def __init__(self, to_float32: bool = False, **kwargs):
+    ``color_type`` follows mmcv.imfrombytes flags: 'color' (default,
+    3-channel RGB), 'grayscale' (2-D uint8), 'unchanged' (decode as
+    stored, e.g. RGBA kept). ``imdecode_backend`` is accepted for config
+    parity but the decode always runs through the native-C++/PIL path;
+    'cv2' vs 'pillow' JPEG decoders can differ by +-1 LSB per pixel —
+    accepted-and-ignored, disclosed in PARITY.md (like the sampler's
+    ``by_prob``), with a one-time warning for non-default values."""
+
+    _warned_backend = False
+
+    def __init__(self, to_float32: bool = False, color_type: str = 'color',
+                 imdecode_backend: str = 'cv2', **kwargs):
         self.to_float32 = to_float32
+        assert color_type in ('color', 'grayscale', 'unchanged'), color_type
+        self.color_type = color_type
+        if imdecode_backend not in ('cv2', 'pillow') and \
+                not LoadImageFromFile._warned_backend:
+            import warnings
+            warnings.warn(
+                f'imdecode_backend={imdecode_backend!r} is accepted for '
+                'config parity but decoding uses the native/PIL path '
+                '(see PARITY.md)')
+            LoadImageFromFile._warned_backend = True
+        self.imdecode_backend = imdecode_backend
 
     def __call__(self, results):
         path = results['img_info']['filename']
-        img = _read_rgb(path)
+        if self.color_type == 'color':
+            img = _read_rgb(path)
+        else:
+            from PIL import Image
+            with Image.open(path) as im:
+                img = np.asarray(im.convert('L')
+                                 if self.color_type == 'grayscale' else im)
         if self.to_float32:
             img = img.astype(np.float32)
         results['filename'] = path
@@ -158,12 +186,33 @@ class LoadAnnotations:
 
 @PIPELINES.register_module()
 class Resize:
-    """mmseg Resize (transforms.py:171): img_scale + ratio_range,
-    keep_ratio rescale (mmcv.imrescale semantics)."""
+    """mmseg Resize (transforms.py:171-345): all 4 multiscale modes.
+
+    1. ``ratio_range`` + no ``img_scale``: ratio x original size.
+    2. ``ratio_range`` + single ``img_scale``: ratio x img_scale.
+    3. ``multiscale_mode='range'`` + 2-scale list: long/short edges each
+       uniformly sampled between the two scales' long/short bounds
+       (reference ``random_sample``, :260-284).
+    4. ``multiscale_mode='value'`` + scale list: one scale picked
+       uniformly (reference ``random_select``, :241-258).
+    """
 
     def __init__(self, img_scale=None, ratio_range=None, keep_ratio=True,
                  multiscale_mode='range', min_size=None):
-        self.img_scale = tuple(img_scale) if img_scale else None
+        if img_scale is None:
+            self.img_scale = None
+        elif isinstance(img_scale, (list,)) and img_scale and \
+                isinstance(img_scale[0], (list, tuple)):
+            self.img_scale = [tuple(s) for s in img_scale]
+        else:
+            self.img_scale = [tuple(img_scale)]
+        # reference constructor contract (:216-235)
+        if ratio_range is not None:
+            assert self.img_scale is None or len(self.img_scale) == 1, \
+                'ratio_range takes a single img_scale'
+        else:
+            assert multiscale_mode in ('value', 'range'), multiscale_mode
+        self.multiscale_mode = multiscale_mode
         self.ratio_range = ratio_range
         self.keep_ratio = keep_ratio
         self.min_size = min_size
@@ -173,11 +222,30 @@ class Resize:
         if self.ratio_range is not None:
             lo, hi = self.ratio_range
             r = float(rng.uniform(lo, hi))
-            base = self.img_scale or results['img'].shape[:2][::-1]
+            base = (self.img_scale[0] if self.img_scale
+                    else results['img'].shape[:2][::-1])
+            results['scale_idx'] = None
             return (int(base[0] * r), int(base[1] * r))
-        if self.img_scale is not None:
-            return self.img_scale
-        return results['img'].shape[1], results['img'].shape[0]
+        if self.img_scale is None:
+            results['scale_idx'] = 0
+            return results['img'].shape[1], results['img'].shape[0]
+        if len(self.img_scale) == 1:
+            results['scale_idx'] = 0
+            return self.img_scale[0]
+        if self.multiscale_mode == 'range':
+            # mode 3 (reference random_sample, :260-284): uniform long
+            # and short edges between the two bounding scales
+            assert len(self.img_scale) == 2, self.img_scale
+            longs = [max(s) for s in self.img_scale]
+            shorts = [min(s) for s in self.img_scale]
+            long_edge = int(rng.integers(min(longs), max(longs) + 1))
+            short_edge = int(rng.integers(min(shorts), max(shorts) + 1))
+            results['scale_idx'] = None
+            return (long_edge, short_edge)
+        # mode 4 (reference random_select, :241-258)
+        idx = int(rng.integers(0, len(self.img_scale)))
+        results['scale_idx'] = idx
+        return self.img_scale[idx]
 
     def __call__(self, results):
         img = results['img']

@@ -282,7 +282,16 @@ class VisionTransformer(nn.Module):
         [B, heads, L+1, L+1] additive logit bias (PASA), or None."""
         b, ih, iw, _ = x.shape
         p = self.patch_size
-        hw = (ih // p, iw // p)
+        # AdaptivePadding 'corner': zero-pad bottom/right so the stride-p
+        # patch conv fully covers non-divisible inputs (reference
+        # mmseg/models/utils/embed.py:12-81, wired at vit.py:303). Shapes
+        # are static per trace, so this is jit-free-of-dynamism; 512-crop
+        # training hits the no-op branch. Exact-shape eval depends on it:
+        # the reference's keep-ratio val shapes are rarely 16-divisible.
+        ph, pw = -(-ih // p) * p, -(-iw // p) * p
+        if (ph, pw) != (ih, iw):
+            x = jnp.pad(x, ((0, 0), (0, ph - ih), (0, pw - iw), (0, 0)))
+        hw = (ph // p, pw // p)
         num_patches = hw[0] * hw[1]
 
         # patch embedding: conv p x p stride p (reference vit.py:297-306)

@@ -99,11 +99,38 @@ def _head_loss_fns(model) -> Tuple[Callable, list]:
     return main, cascade_list + aux_list
 
 
+def _find_sown(tree, key):
+    """First value sown under ``key`` anywhere in an intermediates
+    collection (depth-first over nested dicts)."""
+    if isinstance(tree, dict):
+        if key in tree:
+            return tree[key]
+        for v in tree.values():
+            r = _find_sown(v, key)
+            if r is not None:
+                return r
+    return None
+
+
+def _is_knet(model) -> bool:
+    head = getattr(model, 'decode_head', None)
+    return isinstance(head, dict) and \
+        head.get('type') == 'IterativeDecodeHead'
+
+
 def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
     """Supervised branch: all heads vs GT (encoder_decoder.py:426-441).
-    Returns (losses dict, new batch_stats, main logits at GT resolution)."""
+    Returns (losses dict, new batch_stats, main logits at GT resolution).
+
+    K-Net (IterativeDecodeHead): the reference trains EVERY stage's mask
+    logits, suffixing each loss with ``.s{i}`` (knet_head.py:446-453) —
+    here the head sows its per-stage logits and this branch turns each
+    into a ``decode.loss_ce.s{i}`` entry (all join the total via the
+    'loss'-substring sum, the mmcv _parse_losses convention)."""
+    knet = _is_knet(model)
+    mutable = ['batch_stats', 'intermediates'] if knet else ['batch_stats']
     (main, aux), upd = model.apply(
-        variables, mutable=['batch_stats'],
+        variables, mutable=mutable,
         method='forward_train_heads_from_img', img=img, train=True,
         rngs={'dropout': rng})
     losses = {}
@@ -116,7 +143,13 @@ def _sup_losses(model, main_loss, aux_losses, variables, img, gt, rng):
         return logits
 
     main = to_gt(main)
-    losses['decode.loss_ce'] = main_loss(main, gt)
+    if knet:
+        stage_segs = _find_sown(upd['intermediates'], 'stage_segs')[0]
+        for i, seg in enumerate(stage_segs):
+            losses[f'decode.loss_ce.s{i}'] = main_loss(
+                to_gt(seg.astype(jnp.float32)), gt)
+    else:
+        losses['decode.loss_ce'] = main_loss(main, gt)
     losses['decode.acc_seg'] = accuracy(main, gt)
     for i, (a, lfn) in enumerate(zip(aux, aux_losses)):
         losses[f'aux_{i}.loss_ce'] = lfn(to_gt(a), gt)

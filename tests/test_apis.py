@@ -74,8 +74,10 @@ def test_inference_with_attn(seg, image):
     seg_map, logits, attns = inference_segmentor_with_attn(seg, arr)
     assert seg_map.shape == (50, 70)
     assert len(attns) == 2  # one per out_index
-    # [B, heads, patches, patches] with cls stripped (4x4 grid = 16)
-    assert attns[0].shape == (1, 4, 16, 16)
+    # [B, heads, patches, patches] with cls stripped. Exact eval (round 5)
+    # pads each dim only to the ViT AdaptivePadding divisor (16):
+    # 50x70 -> 64x80 -> 4x5 grid = 20 patch tokens.
+    assert attns[0].shape == (1, 4, 20, 20)
     # rows of attention (before cls-strip) summed to 1; stripped rows < 1
     assert np.all(attns[0] >= 0)
 

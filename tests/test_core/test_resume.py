@@ -97,3 +97,29 @@ def test_resume_trajectory_bit_compatible(tmp_path):
     for la, lb in zip(jax.tree_util.tree_leaves(final_a.ema_params),
                       jax.tree_util.tree_leaves(final_b.ema_params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_async_save_finalize_roundtrip(tmp_path):
+    """Round-5 async checkpointing (VERDICT r4 next #4): block=False
+    returns immediately (state already copied off-device), the finalize
+    barrier completes the write + meta + prune, and the checkpoint loads
+    back bit-equal. A second async save implicitly finalizes the first."""
+    wd = str(tmp_path)
+    state, _ = _fresh_state()
+    p1 = ckpt_lib.save_checkpoint(wd, 1, state, meta={'iter': 1},
+                                  block=False)
+    p2 = ckpt_lib.save_checkpoint(wd, 3, state, meta={'iter': 3},
+                                  block=False)
+    # save #2 must have finalized save #1 (at most one in flight)
+    assert osp.exists(osp.join(p1, '_CHECKPOINT_METADATA'))
+    assert osp.exists(osp.join(p1, 's4former_meta.json'))
+    done = ckpt_lib.finalize_pending_saves()
+    assert done == p2
+    assert ckpt_lib.finalize_pending_saves() is None  # idempotent
+    assert osp.exists(osp.join(p2, 's4former_meta.json'))
+    latest = ckpt_lib.find_latest_checkpoint(wd)
+    assert latest == p2
+    restored = ckpt_lib.load_checkpoint(latest, state)
+    for la, lb in zip(jax.tree_util.tree_leaves(state.params),
+                      jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -166,3 +166,88 @@ def test_pre_eval_and_evaluate(mini_voc):
                       metric='mIoU')
     assert res['mIoU'] == pytest.approx(1.0)
     assert res['aAcc'] == pytest.approx(1.0)
+
+
+def test_resize_multiscale_mode_value():
+    """Mode 4 (reference random_select, transforms.py:241-258): a scale
+    picked uniformly from the list; scale_idx recorded."""
+    from s4former_tpu.data.pipelines.transforms import Resize
+    scales = [(100, 60), (200, 120), (300, 180)]
+    t = Resize(img_scale=scales, multiscale_mode='value', keep_ratio=True)
+    seen = set()
+    for seed in range(40):
+        img = np.full((60, 100, 3), 7, np.uint8)
+        res = {'img': img, 'seg_fields': [],
+               'rng': np.random.default_rng(seed)}
+        out = t(res)
+        idx = out['scale_idx']
+        assert idx in (0, 1, 2)
+        seen.add(idx)
+        # keep_ratio rescale of a 100x60 image to scale (long, short):
+        # f = min(long/100, short/60); both scales here are exact x1/x2/x3
+        f = (idx + 1)
+        assert out['img'].shape[:2] == (60 * f, 100 * f), \
+            (idx, out['img'].shape)
+    assert seen == {0, 1, 2}          # all candidates actually sampled
+
+
+def test_resize_multiscale_mode_range():
+    """Mode 3 (reference random_sample, transforms.py:260-284): long and
+    short edges sampled independently and uniformly (inclusive) between
+    the two bounding scales' long/short extents."""
+    from s4former_tpu.data.pipelines.transforms import Resize
+    t = Resize(img_scale=[(80, 40), (160, 100)], multiscale_mode='range',
+               keep_ratio=False)
+    longs, shorts = [], []
+    for seed in range(60):
+        img = np.zeros((30, 50, 3), np.uint8)
+        res = {'img': img, 'seg_fields': [],
+               'rng': np.random.default_rng(seed)}
+        out = t(res)
+        # keep_ratio=False: output = (w, h) = sampled (long, short)
+        h, w = out['img'].shape[:2]
+        longs.append(w)
+        shorts.append(h)
+        assert 80 <= w <= 160 and 40 <= h <= 100, (w, h)
+        assert out['scale_idx'] is None
+    # the inclusive-uniform draw must cover a wide span of each range
+    assert max(longs) - min(longs) > 40
+    assert max(shorts) - min(shorts) > 30
+
+
+def test_resize_multiscale_constructor_contract():
+    """ratio_range forbids multi-scale lists; bad modes rejected —
+    a mode-4 config can no longer be silently mis-handled."""
+    import pytest as _pytest
+    from s4former_tpu.data.pipelines.transforms import Resize
+    with _pytest.raises(AssertionError):
+        Resize(img_scale=[(80, 40), (160, 100)], ratio_range=(0.5, 2.0))
+    with _pytest.raises(AssertionError):
+        Resize(img_scale=[(80, 40)], multiscale_mode='nonsense')
+    # single tuple + ratio_range stays the flagship mode-2 path
+    t = Resize(img_scale=(128, 64), ratio_range=(0.5, 2.0))
+    assert t.img_scale == [(128, 64)]
+
+
+def test_load_image_color_type(tmp_path):
+    """LoadImageFromFile color_type: 'color' -> 3-channel RGB,
+    'grayscale' -> 2-D (reference loading.py:36-49 / mmcv imfrombytes
+    flags)."""
+    from PIL import Image
+    from s4former_tpu.data.pipelines.transforms import LoadImageFromFile
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (8, 10, 3), dtype=np.uint8)
+    p = tmp_path / 'x.png'
+    Image.fromarray(arr).save(p)
+    res = {'img_info': {'filename': str(p)}}
+    out = LoadImageFromFile()(dict(res))
+    assert out['img'].shape == (8, 10, 3)
+    out = LoadImageFromFile(color_type='grayscale')(dict(res))
+    assert out['img'].shape == (8, 10)
+    # non-default backend: accepted with a one-time warning, not an error
+    LoadImageFromFile._warned_backend = False
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        LoadImageFromFile(imdecode_backend='turbojpeg')
+        assert any('imdecode_backend' in str(x.message) for x in w)

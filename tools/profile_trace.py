@@ -110,8 +110,10 @@ def capture(trace_dir: str, steps: int = 3):
         donate_argnums=0)
     state = create_train_state(variables, ema=True)
     rng = np.random.RandomState(0)
-    bs = int(os.environ.get('BENCH_SUP_PER_CHIP', 4))
-    bu = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 4))
+    # default 8+8 = the adopted bench.py headline batch (ADVICE r4):
+    # running this tool bare profiles the same config the docs quote
+    bs = int(os.environ.get('BENCH_SUP_PER_CHIP', 8))
+    bu = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 8))
     batch = {
         'sup_img': jnp.asarray(rng.randn(bs, 512, 512, 3), jnp.float32),
         'sup_gt': jnp.asarray(rng.randint(0, 21, (bs, 512, 512)),

@@ -81,8 +81,10 @@ def main():
     step_fn = make_semi_train_step(model, cfg, num_classes=21,
                                    base_lr=0.001, max_iters=80001)
 
-    bs = int(os.environ.get('BENCH_SUP_PER_CHIP', 4))
-    bu = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 4))
+    # default 8+8 = the adopted bench.py headline batch (ADVICE r4):
+    # running this tool bare profiles the same config the docs quote
+    bs = int(os.environ.get('BENCH_SUP_PER_CHIP', 8))
+    bu = int(os.environ.get('BENCH_UNSUP_PER_CHIP', 8))
     rng = np.random.RandomState(0)
     batch = {
         'sup_img': jnp.asarray(rng.randn(bs, 512, 512, 3), jnp.float32),

@@ -88,22 +88,34 @@ def main():
     # Reference semantics (encoder_decoder.py:1118-1172): LOGITS are
     # bilinearly resized to ori_shape BEFORE argmax — identical to the
     # training-time eval path (core/runner.make_eval_fn), so offline and
-    # in-training mIoU agree at the same checkpoint. Val shapes are
-    # bucket-padded to bound recompiles; the ori-shape resize + argmax run
-    # on device via exact per-image interp matrices zero-padded to bucket
-    # dims (same formulation as make_eval_fn — one compile per bucket
-    # pair, int32-only device->host transfer).
-    from s4former_tpu.core.runner import _pad_to_bucket
-    from s4former_tpu.ops.resize import interp_matrix_np
+    # in-training mIoU agree at the same checkpoint. Default bucket 16 =
+    # the ViT's own AdaptivePadding divisor, making the path EXACT
+    # (composed two-stage resize matrices, see eval_resize_matrices);
+    # S4_EVAL_BUCKET=256 re-enables the bounded-compile fast mode for
+    # large many-shape val sets.
+    from s4former_tpu.core.runner import (_pad_to_bucket,
+                                          eval_resize_matrices,
+                                          infer_pad_divisor)
 
     align = getattr(model, 'align_corners', False)
-    bucket = 256
+    divisor = infer_pad_divisor(model)
+    # default bucket = the model's own corner-pad divisor -> exact
+    # reference semantics (see core/runner.make_eval_fn)
+    bucket = max(int(os.environ.get('S4_EVAL_BUCKET', divisor)), 1)
+    # whole mode reads RAW head logits (reference forward_get_logits) so
+    # the composed matrices reproduce head-res -> img -> ori exactly
+    raw_whole = (test_mode != 'slide'
+                 and hasattr(model, 'forward_decode_from_img'))
 
     @jax.jit
     def _pred_fn(vs, img, m_h, m_w):
-        logits = inference(
-            lambda x: model.apply(vs, x, train=False),
-            img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
+        if raw_whole:
+            logits = model.apply(vs, img, train=False,
+                                 method='forward_decode_from_img')
+        else:
+            logits = inference(
+                lambda x: model.apply(vs, x, train=False),
+                img, n_cls, mode=test_mode, crop_size=crop, stride=stride)
         x = jnp.einsum('oh,nhwc->nowc', m_h, logits,
                        preferred_element_type=jnp.float32)
         x = jnp.einsum('pw,nhwc->nhpc', m_w, x,
@@ -111,18 +123,37 @@ def main():
         return jnp.argmax(x, axis=-1).astype(jnp.int32)
 
     matrix_cache = {}
+    logit_hw_cache = {}
 
-    def matrices(vh, vw, ph, pw, gh, gw):
-        key = (vh, vw, ph, pw, gh, gw)
+    def _logit_hw(vs, img_shape):
+        if img_shape not in logit_hw_cache:
+            if not raw_whole:
+                logit_hw_cache[img_shape] = img_shape[1:3]
+            else:
+                out = jax.eval_shape(
+                    lambda im: model.apply(vs, im, train=False,
+                                           method='forward_decode_from_img'),
+                    jax.ShapeDtypeStruct(img_shape, jnp.float32))
+                logit_hw_cache[img_shape] = out.shape[1:3]
+        return logit_hw_cache[img_shape]
+
+    def matrices(vs, vh, vw, img_shape, gh, gw):
+        lh, lw = _logit_hw(vs, img_shape)
+
+        def support(v, logit_dim, img_dim):
+            if not raw_whole:
+                return v
+            pd = -(-v // divisor) * divisor
+            if img_dim <= pd:
+                return logit_dim
+            return min(logit_dim, int(round(logit_dim * pd / img_dim)))
+
+        key = (vh, vw, lh, lw, gh, gw)
         if key not in matrix_cache:
-            bh = -(-gh // bucket) * bucket
-            bw = -(-gw // bucket) * bucket
-            m_h = np.zeros((bh, ph), np.float32)
-            m_w = np.zeros((bw, pw), np.float32)
-            m_h[:gh, :vh] = (np.eye(vh, dtype=np.float32) if gh == vh
-                             else interp_matrix_np(vh, gh, align))
-            m_w[:gw, :vw] = (np.eye(vw, dtype=np.float32) if gw == vw
-                             else interp_matrix_np(vw, gw, align))
+            m_h, m_w = eval_resize_matrices(
+                vh, vw, support(vh, lh, img_shape[1]),
+                support(vw, lw, img_shape[2]), lh, lw, (gh, gw),
+                align, bucket)
             matrix_cache[key] = (jnp.asarray(m_h), jnp.asarray(m_w))
         return matrix_cache[key]
 
@@ -148,7 +179,7 @@ def main():
                 item = item[0]
             img = np.asarray(item['img'], np.float32)[None]
             img, (vh, vw) = _pad_to_bucket(img, bucket)
-            m_h, m_w = matrices(vh, vw, img.shape[1], img.shape[2], gh, gw)
+            m_h, m_w = matrices(variables, vh, vw, img.shape, gh, gw)
             pred = np.asarray(
                 _pred_fn(variables, img, m_h, m_w))[0, :gh, :gw]
         if args.out:
