@@ -58,6 +58,12 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _is_pow2(x: float) -> bool:
+    import math
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
 def _bias_spec(num_heads, bias_heads, blk_q, blk_k, kv_inner):
     """BlockSpec for bias [B, bias_heads, Lq, Lk] on a (BH, x, y) grid."""
     if kv_inner:
@@ -74,7 +80,8 @@ def _bias_spec(num_heads, bias_heads, blk_q, blk_k, kv_inner):
 
 # ================================================================ forward
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, sm_scale, blk_k, valid_len):
+                acc_ref, m_ref, l_ref, *, sm_scale, blk_k, valid_len,
+                masked):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -88,11 +95,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     k = k_ref[0]                              # [BLK_K, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
+        preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:  # static: the wrapper pre-scales q when exact
+        s = s * sm_scale
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
-    s = jnp.where(col < valid_len, s, NEG_INF)
+    if masked:  # static: padded cols not already -inf'd via the bias tile
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
+        s = jnp.where(col < valid_len, s, NEG_INF)
 
     m_prev = m_ref[:, 0]
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -115,7 +125,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
 
 def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
-         interpret=False):
+         masked, interpret=False):
     bh, lq, d = q.shape
     lk = k.shape[1]
     grid = (bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
@@ -134,12 +144,14 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
                                    kv_inner=True))
         args.append(bias)
         kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
-                                   blk_k=blk_k, valid_len=valid_len)
+                                   blk_k=blk_k, valid_len=valid_len,
+                                   masked=masked)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, ls, a, m, l, **kw: _fwd_kernel(
                 qr, kr, vr, None, o, ls, a, m, l, **kw),
-            sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len)
+            sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len,
+            masked=masked)
 
     o, lse = pl.pallas_call(
         kernel,
@@ -174,7 +186,7 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
 # =============================================================== backward
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                    *, sm_scale, blk_q, valid_len):
+                    *, sm_scale, blk_q, valid_len, masked):
     qb = pl.program_id(2)
     nqb = pl.num_programs(2)
 
@@ -191,11 +203,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     delta = delta_ref[0, 0, :]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * blk_q
-    s = jnp.where(row < valid_len, s, NEG_INF)
+    if masked:
+        # padded-q-row mask. With the mask folded into the bias tile the
+        # padded rows instead carry p == 1 — harmless, since their do
+        # rows are exactly 0 (cotangent of the sliced-off output pad), so
+        # every dk/dv contribution vanishes through do.
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * blk_q
+        s = jnp.where(row < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])                       # [BLK_Q, BLK_K]
     # matmul operands in the INPUT dtype (bf16 on TPU) with f32
     # accumulation: the MXU runs f32xf32 at 1/3 rate, and the low-dtype
@@ -221,7 +240,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                       delta_ref, dq_ref, dk_ref, dv_ref,
-                      *, sm_scale, valid_len):
+                      *, sm_scale, valid_len, masked):
     """Single-block dq+dk+dv in ONE pass (flagship L=1025 case).
 
     When the whole padded sequence fits one (q, k) block — the shipped
@@ -242,12 +261,19 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     delta = delta_ref[0, 0, :]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where((row < valid_len) & (col < valid_len), s, NEG_INF)
+    if masked:
+        # With the mask folded into the bias tile (wrapper pads the bias
+        # rows AND cols with NEG_INF) this branch is skipped: padded cols
+        # give p == 0 through the bias; padded rows give p == 1 but their
+        # do rows are exactly 0, so dk/dv/ds contributions vanish.
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where((row < valid_len) & (col < valid_len), s, NEG_INF)
     p = jnp.exp(s - lse[:, None])
     p_lo = p.astype(q.dtype)
     do_lo = do.astype(q.dtype)
@@ -266,7 +292,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
-               blk_q, blk_k, valid_len, interpret):
+               blk_q, blk_k, valid_len, masked, interpret):
     bh, lq, d = q.shape
     in_specs = [
         pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
@@ -286,13 +312,13 @@ def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
             memory_space=pltpu.VMEM))
         args.append(bias)
         kernel = functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
-                                   valid_len=valid_len)
+                                   valid_len=valid_len, masked=masked)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, dor, lser, dr, dq, dk, dv, **kw:
             _bwd_fused_kernel(qr, kr, vr, None, dor, lser, dr,
                               dq, dk, dv, **kw),
-            sm_scale=sm_scale, valid_len=valid_len)
+            sm_scale=sm_scale, valid_len=valid_len, masked=masked)
     in_specs += [
         pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -332,7 +358,7 @@ def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, dq_acc, *, sm_scale, blk_k,
-                   valid_len):
+                   valid_len, masked):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -348,11 +374,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     delta = delta_ref[0, 0, :]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32)
+    if sm_scale != 1.0:
+        s = s * sm_scale
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
-    s = jnp.where(col < valid_len, s, NEG_INF)
+    if masked:  # padded cols not already -inf'd via the bias tile
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * blk_k
+        s = jnp.where(col < valid_len, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])
     do_lo = do.astype(q.dtype)
     dpv = jax.lax.dot_general(do_lo, v,
@@ -369,7 +398,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
-         valid_len, interpret=False):
+         valid_len, masked, interpret=False):
     do = g
     bh, lq, d = q.shape
     lk = k.shape[1]
@@ -380,7 +409,8 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
         # whole sequence in one (q, k) block — the flagship L=1025 case:
         # one fused kernel instead of the two-kernel flash-2 schedule
         return _bwd_fused(q, k, v, bias, do, lse, delta, num_heads,
-                          sm_scale, blk_q, blk_k, valid_len, interpret)
+                          sm_scale, blk_q, blk_k, valid_len, masked,
+                          interpret)
 
     qkv_specs_kq = [  # grid (bh, kblocks, qblocks): q varies innermost
         pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
@@ -396,13 +426,15 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
                                        blk_k, kv_inner=False))
         args.append(bias)
         dkv_kernel = functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale,
-                                       blk_q=blk_q, valid_len=valid_len)
+                                       blk_q=blk_q, valid_len=valid_len,
+                                       masked=masked)
     else:
         dkv_kernel = functools.partial(
             lambda qr, kr, vr, dor, lser, dr, dk, dv, dka, dva, **kw:
             _bwd_dkv_kernel(qr, kr, vr, None, dor, lser, dr, dk, dv,
                             dka, dva, **kw),
-            sm_scale=sm_scale, blk_q=blk_q, valid_len=valid_len)
+            sm_scale=sm_scale, blk_q=blk_q, valid_len=valid_len,
+            masked=masked)
     qkv_specs_kq += [
         pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
                      memory_space=pltpu.VMEM),
@@ -449,12 +481,14 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
                                        blk_k, kv_inner=True))
         args.append(bias)
         dq_kernel = functools.partial(_bwd_dq_kernel, sm_scale=sm_scale,
-                                      blk_k=blk_k, valid_len=valid_len)
+                                      blk_k=blk_k, valid_len=valid_len,
+                                      masked=masked)
     else:
         dq_kernel = functools.partial(
             lambda qr, kr, vr, dor, lser, dr, dq, dqa, **kw:
             _bwd_dq_kernel(qr, kr, vr, None, dor, lser, dr, dq, dqa, **kw),
-            sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len)
+            sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len,
+            masked=masked)
     qkv_specs_qk += [
         pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
                      memory_space=pltpu.VMEM),
@@ -485,26 +519,26 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
 
 
 # ================================================================ wrapper
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
-           interpret):
+           masked, interpret):
     o, _ = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
-                valid_len, interpret)
+                valid_len, masked, interpret)
     return o
 
 
 def _flash_fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
-               interpret):
+               masked, interpret):
     o, lse = _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k,
-                  valid_len, interpret)
+                  valid_len, masked, interpret)
     return o, (q, k, v, bias, o, lse)
 
 
-def _flash_bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, interpret,
-               residuals, g):
+def _flash_bwd(num_heads, sm_scale, blk_q, blk_k, valid_len, masked,
+               interpret, residuals, g):
     q, k, v, bias, o, lse = residuals
     dq, dk, dv = _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale,
-                      blk_q, blk_k, valid_len, interpret)
+                      blk_q, blk_k, valid_len, masked, interpret)
     # bias is non-differentiable BY API CONTRACT: flash_attention applies
     # stop_gradient to it before this vjp, so the zero cotangent here is
     # unreachable by live gradients (a differentiable bias must use the
@@ -549,6 +583,16 @@ def flash_attention(q: Array, k: Array, v: Array,
         interpret = jax.default_backend() != 'tpu'
     b, l, h, d = q.shape
     sm_scale = 1.0 / (d ** 0.5)
+    # fold sm_scale into q OUTSIDE the kernel when it is a power of two
+    # (d a power of 4 — flagship d=64 gives 1/8): the bf16 multiply is a
+    # pure exponent shift (bit-exact) that fuses into the transpose/pad
+    # copy below, and it deletes the `s * sm_scale` VPU pass over the
+    # [L, L] f32 score tile in ALL FOUR kernels (the kernels are
+    # VPU-bound at d=64, not MXU-bound). dq chains through this scale by
+    # autodiff of the multiply itself; dk = ds^T @ (q*c) absorbs it.
+    if _is_pow2(sm_scale):
+        q = q * jnp.asarray(sm_scale, q.dtype)
+        sm_scale = 1.0
     if blk_k is None:
         lp128 = _cdiv(l, 128) * 128
         blk_k = lp128 if lp128 <= FULL_K_MAX else 576
@@ -571,7 +615,16 @@ def flash_attention(q: Array, k: Array, v: Array,
 
     qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
     if bias is not None and lp != l:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lp - l), (0, lp - l)))
-    out = _flash(qf, kf, vf, bias, h, sm_scale, blk_q, blk_k, l, interpret)
+        # fold the pad mask into the bias tile: -inf'ing the pad band's
+        # rows AND cols makes the in-kernel iota/where mask passes over
+        # the [L, L] score tile unnecessary (padded cols: p == 0 through
+        # the bias; padded rows: p == 1 but their output is sliced off /
+        # their do rows are exactly 0 in the backward). Same HBM traffic
+        # as the zero-pad this replaces.
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lp - l), (0, lp - l)),
+                       constant_values=NEG_INF)
+    masked = (lp != l) and bias is None
+    out = _flash(qf, kf, vf, bias, h, sm_scale, blk_q, blk_k, l, masked,
+                 interpret)
     out = out[:, :l].reshape(b, h, l, d).transpose(0, 2, 1, 3)
     return out

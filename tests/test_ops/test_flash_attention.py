@@ -160,3 +160,37 @@ def test_differentiable_bias_contract(qkvb):
 
     g = jax.grad(loss)(bias)
     assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+@pytest.mark.parametrize('fused', [True, False],
+                         ids=['fused_single_block', 'two_kernel'])
+def test_padded_with_bias_mask_folded(qkvb, fused):
+    """Round-5 mask folding: with a bias AND a non-block-multiple L (the
+    flagship L=1025 shape class) the wrapper -inf-pads the bias tile
+    instead of running in-kernel iota/where masks. Forward and all three
+    gradients must still match XLA at the exact length — in both the
+    fused-single-block and the two-kernel backward schedules."""
+    q, k, v, bias = qkvb
+    n = 130
+    q2, k2, v2 = q[:, :n], k[:, :n], v[:, :n]
+    b2 = bias[:, :, :n, :n]
+    kw = {} if fused else dict(blk_q=128, blk_k=128)
+
+    out = flash_attention(q2, k2, v2, b2, **kw)
+    ref, _ = dot_product_attention(q2, k2, v2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, b2, **kw) ** 2)
+
+    def loss_ref(q, k, v):
+        o, _ = dot_product_attention(q, k, v, b2)
+        return jnp.sum(o ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q2, k2, v2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b, name in zip(g_flash, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3,
+                                   err_msg=f'd{name}')
