@@ -65,15 +65,21 @@ def _is_pow2(x: float) -> bool:
 
 
 def _bias_spec(num_heads, bias_heads, blk_q, blk_k, kv_inner):
-    """BlockSpec for bias [B, bias_heads, Lq, Lk] on a (BH, x, y) grid."""
+    """BlockSpec for bias [B, bias_heads, Lq, Lk] on a (B, H, x, y) grid.
+
+    The grid iterates h one step inward of b, so with a broadcast bias
+    (bias_heads == 1, the PASA case) the bias block indices are IDENTICAL
+    across the H consecutive grid steps of one image — the Pallas
+    pipeline elides the repeated DMA and the [Lq, Lk] bias tile is read
+    from HBM once per image instead of once per head (12x less bias
+    traffic at flagship geometry; the tile is the largest input of the
+    kernel at 2.5 MB vs 144 KB per q/k/v block)."""
     if kv_inner:
-        def imap(bh, qi, ki):
-            return (bh // num_heads,
-                    (bh % num_heads) if bias_heads > 1 else 0, qi, ki)
+        def imap(b, h, qi, ki):
+            return (b, h if bias_heads > 1 else 0, qi, ki)
     else:
-        def imap(bh, ki, qi):
-            return (bh // num_heads,
-                    (bh % num_heads) if bias_heads > 1 else 0, qi, ki)
+        def imap(b, h, ki, qi):
+            return (b, h if bias_heads > 1 else 0, qi, ki)
     return pl.BlockSpec((1, 1, blk_q, blk_k), imap,
                         memory_space=pltpu.VMEM)
 
@@ -82,8 +88,8 @@ def _bias_spec(num_heads, bias_heads, blk_q, blk_k, kv_inner):
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, sm_scale, blk_k, valid_len,
                 masked):
-    kb = pl.program_id(2)
-    nkb = pl.num_programs(2)
+    kb = pl.program_id(3)
+    nkb = pl.num_programs(3)
 
     @pl.when(kb == 0)
     def _init():
@@ -128,14 +134,15 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
          masked, interpret=False):
     bh, lq, d = q.shape
     lk = k.shape[1]
-    grid = (bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
+    nh = num_heads
+    grid = (bh // nh, nh, _cdiv(lq, blk_q), _cdiv(lk, blk_k))
 
     in_specs = [
-        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+        pl.BlockSpec((1, blk_q, d), lambda b, h, qi, ki: (b * nh + h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, h, qi, ki: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, h, qi, ki: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
@@ -158,9 +165,11 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+            pl.BlockSpec((1, blk_q, d),
+                         lambda b, h, qi, ki: (b * nh + h, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
+            pl.BlockSpec((1, 1, blk_q),
+                         lambda b, h, qi, ki: (b * nh + h, 0, qi),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -173,7 +182,8 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
             pltpu.VMEM((blk_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            dimension_semantics=('parallel', 'parallel', 'parallel',
+                                 'arbitrary'),
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
@@ -187,8 +197,8 @@ def _fwd(q, k, v, bias, num_heads, sm_scale, blk_q, blk_k, valid_len,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                     *, sm_scale, blk_q, valid_len, masked):
-    qb = pl.program_id(2)
-    nqb = pl.num_programs(2)
+    qb = pl.program_id(3)
+    nqb = pl.num_programs(3)
 
     @pl.when(qb == 0)
     def _init():
@@ -294,21 +304,24 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
                blk_q, blk_k, valid_len, masked, interpret):
     bh, lq, d = q.shape
+    nh = num_heads
     in_specs = [
-        pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, blk_q, d), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, blk_k, d), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if bias is not None:
         bias_heads = bias.shape[1]
+        # h one step inward of b: broadcast (PASA) bias blocks repeat
+        # across the H consecutive steps of one image and the pipeline
+        # elides the repeated 2.5 MB DMA (see _bias_spec)
         in_specs.append(pl.BlockSpec(
             (1, 1, blk_q, blk_k),
-            lambda b: (b // num_heads,
-                       (b % num_heads) if bias_heads > 1 else 0, 0, 0),
+            lambda b, h: (b, h if bias_heads > 1 else 0, 0, 0),
             memory_space=pltpu.VMEM))
         args.append(bias)
         kernel = functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
@@ -320,11 +333,11 @@ def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
                               dq, dk, dv, **kw),
             sm_scale=sm_scale, valid_len=valid_len, masked=masked)
     in_specs += [
-        pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, blk_q, d), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, 1, blk_q), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b: (b, 0, 0),
+        pl.BlockSpec((1, 1, blk_q), lambda b, h: (b * nh + h, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args += [do, lse, delta]
@@ -335,21 +348,21 @@ def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
         else max(_VMEM_LIMIT, 64 * 1024 * 1024)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // nh, nh),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, blk_q, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, blk_q, d), lambda b, h: (b * nh + h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, blk_k, d), lambda b, h: (b * nh + h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, blk_k, d), lambda b, h: (b * nh + h, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel',),
+            dimension_semantics=('parallel', 'parallel'),
             vmem_limit_bytes=vmem),
         interpret=interpret,
     )(*args)
@@ -359,8 +372,8 @@ def _bwd_fused(q, k, v, bias, do, lse, delta, num_heads, sm_scale,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, dq_acc, *, sm_scale, blk_k,
                    valid_len, masked):
-    kb = pl.program_id(2)
-    nkb = pl.num_programs(2)
+    kb = pl.program_id(3)
+    nkb = pl.num_programs(3)
 
     @pl.when(kb == 0)
     def _init():
@@ -412,12 +425,16 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
                           sm_scale, blk_q, blk_k, valid_len, masked,
                           interpret)
 
-    qkv_specs_kq = [  # grid (bh, kblocks, qblocks): q varies innermost
-        pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
+    nh = num_heads
+    qkv_specs_kq = [  # grid (b, h, kblocks, qblocks): q varies innermost
+        pl.BlockSpec((1, blk_q, d),
+                     lambda b, h, ki, qi: (b * nh + h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d),
+                     lambda b, h, ki, qi: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d),
+                     lambda b, h, ki, qi: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
@@ -436,22 +453,27 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             sm_scale=sm_scale, blk_q=blk_q, valid_len=valid_len,
             masked=masked)
     qkv_specs_kq += [
-        pl.BlockSpec((1, blk_q, d), lambda b, ki, qi: (b, qi, 0),
+        pl.BlockSpec((1, blk_q, d),
+                     lambda b, h, ki, qi: (b * nh + h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b, ki, qi: (b, 0, qi),
+        pl.BlockSpec((1, 1, blk_q),
+                     lambda b, h, ki, qi: (b * nh + h, 0, qi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b, ki, qi: (b, 0, qi),
+        pl.BlockSpec((1, 1, blk_q),
+                     lambda b, h, ki, qi: (b * nh + h, 0, qi),
                      memory_space=pltpu.VMEM),
     ]
     args += [do, lse, delta]
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(bh, _cdiv(lk, blk_k), _cdiv(lq, blk_q)),
+        grid=(bh // nh, nh, _cdiv(lk, blk_k), _cdiv(lq, blk_q)),
         in_specs=qkv_specs_kq,
         out_specs=(
-            pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
+            pl.BlockSpec((1, blk_k, d),
+                         lambda b, h, ki, qi: (b * nh + h, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k, d), lambda b, ki, qi: (b, ki, 0),
+            pl.BlockSpec((1, blk_k, d),
+                         lambda b, h, ki, qi: (b * nh + h, ki, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -459,7 +481,8 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
         scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
                         pltpu.VMEM((blk_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            dimension_semantics=('parallel', 'parallel', 'parallel',
+                                 'arbitrary'),
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
@@ -467,12 +490,15 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
         interpret=interpret,
     )(*args)
 
-    qkv_specs_qk = [  # grid (bh, qblocks, kblocks): k varies innermost
-        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+    qkv_specs_qk = [  # grid (b, h, qblocks, kblocks): k varies innermost
+        pl.BlockSpec((1, blk_q, d),
+                     lambda b, h, qi, ki: (b * nh + h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d),
+                     lambda b, h, qi, ki: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, blk_k, d), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, blk_k, d),
+                     lambda b, h, qi, ki: (b * nh + h, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
@@ -490,24 +516,29 @@ def _bwd(q, k, v, bias, o, lse, g, num_heads, sm_scale, blk_q, blk_k,
             sm_scale=sm_scale, blk_k=blk_k, valid_len=valid_len,
             masked=masked)
     qkv_specs_qk += [
-        pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+        pl.BlockSpec((1, blk_q, d),
+                     lambda b, h, qi, ki: (b * nh + h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
+        pl.BlockSpec((1, 1, blk_q),
+                     lambda b, h, qi, ki: (b * nh + h, 0, qi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, blk_q), lambda b, qi, ki: (b, 0, qi),
+        pl.BlockSpec((1, 1, blk_q),
+                     lambda b, h, qi, ki: (b * nh + h, 0, qi),
                      memory_space=pltpu.VMEM),
     ]
     args += [do, lse, delta]
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(bh, _cdiv(lq, blk_q), _cdiv(lk, blk_k)),
+        grid=(bh // nh, nh, _cdiv(lq, blk_q), _cdiv(lk, blk_k)),
         in_specs=qkv_specs_qk,
-        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, qi, ki: (b, qi, 0),
+        out_specs=pl.BlockSpec((1, blk_q, d),
+                               lambda b, h, qi, ki: (b * nh + h, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            dimension_semantics=('parallel', 'parallel', 'parallel',
+                                 'arbitrary'),
             # the single-(q|k)-block schedule at L=1152 with a bias tile
             # measures 16.56M against the default 16M scoped-VMEM limit;
             # v5e has 128M VMEM, so grant the kernels headroom
